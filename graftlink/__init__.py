@@ -1,0 +1,43 @@
+"""graftlink — a PySpark-native link-graph analytics engine.
+
+Built from scratch (NOT a port of igraph's C core / Graphina's Rust
+crates) with the observable query semantics of igraph's core graph
+suite: power-iteration PageRank (damping 0.85), connected components
+via iterative min-label hash propagation (large-star/small-star),
+label-propagation community detection, and triangle counting via
+degree-ordered edge orientation + wedge self-join.
+
+Design (SURVEY.md §1,§4): edges live in columnar DataFrames; the hot
+iterative path runs over src-bucketed CSR-like adjacency blocks
+(`adj(src, neighbors array<long>, out_deg)`) so each superstep is one
+vectorized Arrow gather-scatter kernel (`mapInArrow`, numpy on Arrow
+buffers — zero per-row Python UDFs) followed by a shuffle-reduce
+(partial+final hash aggregation). Every iteration checkpoints state
+with lineage metadata so a killed job resumes mid-algorithm.
+
+Reference parity anchors: igraph@0.10.x src/centrality/pagerank.c,
+src/connectivity/components.c, src/community/label_propagation.c,
+src/properties/triangles.c (see SURVEY.md §2A — the reference checkout
+at /root/reference was empty; semantics re-derived from the published
+algorithms and validated against numpy/networkx oracles).
+"""
+
+from graftlink.adjacency import pack_adjacency
+from graftlink.components import connected_components
+from graftlink.lpa import label_propagation
+from graftlink.pagerank import pagerank
+from graftlink.triangles import triangle_count, triangles_per_vertex
+from graftlink.vertices import degrees, encode_vertices
+
+__all__ = [
+    "pack_adjacency",
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "triangle_count",
+    "triangles_per_vertex",
+    "encode_vertices",
+    "degrees",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,119 @@
+"""Label propagation community detection — igraph parity op 3.
+
+igraph's LPA (igraph@0.10.x src/community/label_propagation.c,
+Raghavan–Albert–Kumara 2007) is RNG-dependent: async updates in a
+random vertex order with random tie-breaks, so igraph itself is not
+reproducible run-to-run. The parity contract (BASELINE.md row 6 /
+SURVEY.md §2A) is therefore a deterministic spec of our own that
+keeps the RAK fixed-point property:
+
+  - synchronous supersteps; every vertex updates from the same
+    snapshot;
+  - a vertex's vote multiset = labels of all its neighbors
+    (undirected view, multi-edges count) PLUS its own current label
+    once (the self-vote breaks 2-cycles that make pure synchronous
+    LPA oscillate);
+  - new label = most frequent vote, ties broken by MINIMUM label;
+  - stop when no vertex changes (or max_iter).
+
+Same input => identical labels at any parallelism (integer ops only).
+At convergence every vertex's label is a maximal vote in its
+closed neighborhood — the validity property the tests assert.
+Labels are renumbered 0..k-1 by ascending min member id, matching
+igraph's VertexClustering presentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graftlink.adjacency import pack_adjacency
+from graftlink.checkpoint import CheckpointManager
+from graftlink.components import _renumber
+from graftlink.kernels import scatter
+from graftlink.vertices import vertex_universe
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 30,
+    renumber: bool = True,
+    buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
+    stats: dict | None = None,
+) -> DataFrame:
+    """edges DF[src,dst] -> DF[id, community(long)]."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (vertices or vertex_universe(edges)).select("id")
+    adj = pack_adjacency(edges, buckets=b, undirected=True).persist()
+    mgr = CheckpointManager(
+        checkpoint_dir, "lpa", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
+    )
+    start_it = 0
+    state = None
+    if resume:
+        found = mgr.latest()
+        if found is not None:
+            start_it = found[0] + 1
+            state = mgr.load(found[0], "id")
+    if state is None:
+        state = verts.select("id", F.col("id").alias("label")).repartition(
+            b, "id"
+        ).localCheckpoint(eager=True)
+
+    iterations = 0
+    for it in range(start_it, max_iter):
+        joined = adj.select("src", "neighbors").join(
+            state, adj["src"] == state["id"], "inner"
+        ).select("neighbors", "label")
+        msgs = scatter(joined, "label")  # (dst, label) per edge
+        self_votes = state.select(F.col("id").alias("dst"), "label")
+        votes = (
+            msgs.unionAll(self_votes)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("label").asc())
+        winners = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("dst", F.col("label").alias("new_label"))
+        )
+        new_state = (
+            state.join(winners, state["id"] == winners["dst"], "left")
+            .select(
+                "id", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+        )
+        new_state = mgr.save(new_state, it, "id", counters={"iteration": it})
+        changed = (
+            new_state.alias("a")
+            .join(state.alias("b"), "id")
+            .where(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        state = new_state
+        iterations = it + 1
+        if changed == 0:
+            break
+    adj.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
+    labels = state.select("id", "label")
+    if renumber:
+        # community key = min member id, then dense 0..k-1
+        min_member = labels.groupBy("label").agg(F.min("id").alias("_mm"))
+        labels = labels.join(min_member, "label").select(
+            "id", F.col("_mm").alias("label")
+        )
+        return _renumber(labels).withColumnRenamed("component", "community")
+    return labels.select("id", F.col("label").alias("community"))

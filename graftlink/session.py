@@ -1,0 +1,65 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local mode is the sandbox stand-in for a multi-executor cluster
+(BASELINE.md row 3): `local[8]` vs `local[32]` evidences the N vs 4N
+executor scaling rule. All knobs here hold on a real cluster too —
+nothing is local-mode-specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "graftlink",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    cores: for local mode, the parallelism level (local[cores]); None
+    uses $SPARK_GRAFT_CPUS or all cores. On a real deployment the
+    master comes from spark-submit and this value is ignored.
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cores_env}]"
+    else:
+        master = f"local[{cores}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # One partitioning constant for the whole engine: groupBy/join
+        # outputs land hash-partitioned at exactly the bucket count the
+        # adjacency blocks use, so superstep joins are co-partitioned
+        # (SURVEY.md §4.2.3).
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        # AQE partition coalescing would silently break the
+        # adj↔state co-partitioning contract mid-loop; keep partition
+        # counts pinned (skew-join stays on for the non-iterative ops).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batch size so a packed hub adjacency block
+        # streams through the kernel instead of materializing at once
+        # (SURVEY.md §4.2.4).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

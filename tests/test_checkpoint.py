@@ -1,0 +1,108 @@
+"""Checkpoint/resume (BASELINE.md row 9): state after
+kill-at-iteration-k + resume == uninterrupted run; lineage sane."""
+
+import json
+import os
+
+import numpy as np
+
+from graftlink.checkpoint import CheckpointManager, fingerprint_edges
+from graftlink.components import connected_components
+from graftlink.pagerank import pagerank
+
+from tests.conftest import edges_df
+from tests.oracles import er_edges, karate_edges
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_resume_bit_exact(spark, tmp_path):
+    pairs = karate_edges()
+    both = pairs + [(b, a) for a, b in pairs]
+    e = edges_df(spark, both)
+    verts = spark.range(34)
+    fp = fingerprint_edges(e)
+
+    full = _ranks(
+        pagerank(e, vertices=verts, checkpoint_dir=str(tmp_path / "full"), fingerprint=fp)
+    )
+
+    # "killed" run: only 3 iterations persisted
+    part_dir = str(tmp_path / "killed")
+    pagerank(e, vertices=verts, max_iter=3, checkpoint_dir=part_dir, fingerprint=fp)
+    # resume from the kill point
+    resumed = _ranks(
+        pagerank(
+            e, vertices=verts, checkpoint_dir=part_dir, resume=True, fingerprint=fp
+        )
+    )
+    assert set(full) == set(resumed)
+    # float sums' combine order isn't fixed across runs, so "identical
+    # up to shuffle-order fp noise" is the honest contract for rank
+    # state; label state (test_cc_minlabel_resume) is exactly equal.
+    got = np.array([resumed[k] for k in sorted(full)])
+    want = np.array([full[k] for k in sorted(full)])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_lineage_contents(spark, tmp_path):
+    pairs = er_edges(30, 0.05, 8)
+    e = edges_df(spark, pairs)
+    d = str(tmp_path / "chk")
+    stats = {}
+    pagerank(
+        e, vertices=spark.range(30), max_iter=4, checkpoint_dir=d,
+        fingerprint=fingerprint_edges(e), stats=stats,
+    )
+    its = sorted(
+        int(n.split("=")[1]) for n in os.listdir(os.path.join(d, "pagerank"))
+    )
+    assert its == list(range(len(its)))
+    lineage_path = os.path.join(d, "pagerank", f"it={its[-1]}", "_lineage.json")
+    with open(lineage_path) as f:
+        lin = json.load(f)
+    assert lin["algo"] == "pagerank"
+    assert lin["rows"] == 30
+    assert sum(c for _, c in lin["partition_rows"]) == 30
+    assert lin["counters"]["edges_processed"] == stats["m"]
+    assert lin["input_fingerprint"].startswith("m=")
+
+
+def test_stale_fingerprint_not_resumed(spark, tmp_path):
+    e1 = edges_df(spark, er_edges(20, 0.08, 1))
+    e2 = edges_df(spark, er_edges(20, 0.08, 2))
+    d = str(tmp_path / "chk2")
+    fp1, fp2 = fingerprint_edges(e1), fingerprint_edges(e2)
+    assert fp1 != fp2
+    pagerank(e1, vertices=spark.range(20), max_iter=2, checkpoint_dir=d, fingerprint=fp1)
+    mgr = CheckpointManager(d, "pagerank", spark, input_fingerprint=fp2)
+    assert mgr.latest() is None  # checkpoint of other input is invisible
+
+
+def test_cc_minlabel_resume(spark, tmp_path):
+    pairs = er_edges(40, 0.03, 12)
+    e = edges_df(spark, pairs)
+    verts = spark.range(40)
+    fp = fingerprint_edges(e)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            e, vertices=verts, algo="minlabel",
+            checkpoint_dir=str(tmp_path / "ccf"), fingerprint=fp,
+        ).collect()
+    }
+    d = str(tmp_path / "cck")
+    connected_components(
+        e, vertices=verts, algo="minlabel", max_iter=2,
+        checkpoint_dir=d, fingerprint=fp,
+    )
+    resumed = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            e, vertices=verts, algo="minlabel",
+            checkpoint_dir=d, resume=True, fingerprint=fp,
+        ).collect()
+    }
+    assert full == resumed
