@@ -24,6 +24,11 @@ from pyspark.sql.window import Window
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from graftlink import dedup as _dedup
+from graftlink import multimodal as _multimodal
+from graftlink import similarity as _similarity
+from graftlink import texthash as _texthash
+from graftlink import textops as _textops
 from graftlink.docs_graph import clean_edges, doc_edges, doc_edges_sql, read_documents
 
 
@@ -162,6 +167,150 @@ def _q_lang_stats(spark, sf_dir):
     )
 
 
+def _q_transitivity(spark, sf_dir):
+    """Global clustering coefficient as a one-row DF (3*tri/wedges)."""
+    from graftlink.triangles import _closed_triangles
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w"))
+    tri = _closed_triangles(e).agg(F.count("*").alias("t"))
+    return tri.crossJoin(wedges).select(
+        F.round(F.lit(3.0) * F.col("t") / F.greatest("w", F.lit(1.0)), 8).alias(
+            "transitivity"
+        )
+    )
+
+
+def _q_local_clustering(spark, sf_dir):
+    """Per-vertex clustering coefficient: triangles / (deg*(deg-1)/2)."""
+    from graftlink.triangles import triangles_per_vertex
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangles_per_vertex(e, deg.select("id"))
+    return tri.join(deg, "id").select(
+        "id",
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0) * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+            ).otherwise(F.lit(0.0)),
+            8,
+        ).alias("lcc"),
+    )
+
+
+# --- training-data pipeline ops (textops / dedup / similarity / multimodal) ---
+
+_ANN_QUERY_IDS = [0, 100, 200, 300, 400]
+
+
+def _q_token_stats_full(spark, sf_dir):
+    from graftlink.textops import token_stats
+
+    return token_stats(read_documents(spark, sf_dir))
+
+
+def _q_quality_scores(spark, sf_dir):
+    from graftlink.textops import quality_scores
+
+    return quality_scores(read_documents(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from graftlink.textops import lang_id
+
+    return lang_id(read_documents(spark, sf_dir))
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    from graftlink.textops import fingerprints
+
+    return fingerprints(read_documents(spark, sf_dir))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from graftlink.dedup import minhash_signatures
+
+    return minhash_signatures(read_documents(spark, sf_dir)).select("id", "sig")
+
+
+def _q_lsh_candidate_pairs(spark, sf_dir):
+    from graftlink.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(read_documents(spark, sf_dir)))
+
+
+def _q_near_dup_minhash(spark, sf_dir):
+    from graftlink.dedup import near_dup_minhash
+
+    return near_dup_minhash(read_documents(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash_fingerprints(spark, sf_dir):
+    from graftlink.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(read_documents(spark, sf_dir))
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    from graftlink.dedup import simhash_fingerprints, simhash_near_dups
+
+    return simhash_near_dups(simhash_fingerprints(read_documents(spark, sf_dir)))
+
+
+def _q_embedding_norms(spark, sf_dir):
+    from graftlink.similarity import embedding_norms
+
+    return embedding_norms(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from graftlink.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, _ANN_QUERY_IDS, k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from graftlink.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, _ANN_QUERY_IDS, k=5, dim=64)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    from graftlink.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.45)
+
+
+def _q_media_stats(spark, sf_dir):
+    from graftlink.multimodal import media_stats, synth_media
+
+    return media_stats(synth_media(read_documents(spark, sf_dir)))
+
+
 def _q_pagerank_top20(spark, sf_dir):
     from graftlink.pagerank import pagerank
     from graftlink.vertices import vertex_universe
@@ -209,10 +358,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "wedge_count": _q_wedge_count,
+        "transitivity": _q_transitivity,
+        "local_clustering": _q_local_clustering,
         "latest_event_per_user": _q_latest_event_per_user,
         "doc_token_stats": _q_doc_token_stats,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "lang_stats": _q_lang_stats,
+        # training-data pipeline layer
+        "token_stats_full": _q_token_stats_full,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "near_dup_minhash": _q_near_dup_minhash,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "embedding_norms": _q_embedding_norms,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "media_stats": _q_media_stats,
         # iterative graph algorithms: rows-only here, pytest parity
         # suite is the value gate (BASELINE.md rows 4-6)
         "pagerank_top20": _q_pagerank_top20,
@@ -281,6 +447,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
         """,
+        "transitivity": f"""
+            WITH und AS ({_UND}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY id
+            ),
+            w AS (SELECT sum(deg * (deg - 1) / 2) AS w FROM deg),
+            t AS (
+                SELECT count(*) AS t
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT round(3.0 * t.t / greatest(w.w, 1.0), 8) AS transitivity
+            FROM t, w
+        """,
+        "local_clustering": f"""
+            WITH und AS ({_UND}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ),
+            tpv AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
+            SELECT deg.id,
+                   round(CASE WHEN deg.deg >= 2
+                         THEN 2.0 * coalesce(tpv.n, 0) / (deg.deg * (deg.deg - 1))
+                         ELSE 0.0 END, 8) AS lcc
+            FROM deg LEFT JOIN tpv ON deg.id = tpv.id
+        """,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (
                 SELECT user_id, event_id, ts, event_type,
@@ -301,6 +509,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text
         """,
+        "token_stats_full": _textops.token_stats_sql(),
+        "quality_scores": _textops.quality_scores_sql(),
+        "lang_id": _textops.lang_id_sql(),
+        "doc_fingerprints": _textops.fingerprints_sql(),
+        "minhash_signatures": _dedup.minhash_signatures_sql(),
+        "lsh_candidate_pairs": _dedup.lsh_candidate_pairs_sql(),
+        "near_dup_minhash": _dedup.near_dup_minhash_sql(threshold=0.5),
+        "simhash_fingerprints": (
+            f"SELECT doc_id AS id, {_texthash.simhash_sql('text')} AS simhash"
+            " FROM documents"
+        ),
+        "simhash_near_dups": _dedup.simhash_near_dups_sql(),
+        "embedding_norms": _similarity.embedding_norms_sql(),
+        "cosine_topk": _similarity.cosine_topk_sql(_ANN_QUERY_IDS, k=5),
+        "ann_lsh_topk": _similarity.ann_lsh_topk_sql(_ANN_QUERY_IDS, k=5, dim=64),
+        "embedding_near_dups": _similarity.embedding_near_dups_sql(threshold=0.45),
+        "media_stats": _multimodal.media_stats_sql(),
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
