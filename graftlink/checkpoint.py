@@ -42,6 +42,7 @@ class CheckpointManager:
         input_fingerprint: str = "",
         mode: str = "durable",
         buckets: int | None = None,
+        truncate_every: int = 4,
     ):
         self.base = os.path.join(base_dir, algo) if base_dir else None
         self.algo = algo
@@ -49,7 +50,9 @@ class CheckpointManager:
         self.fingerprint = input_fingerprint
         self.mode = mode if base_dir else "local"
         self.buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.truncate_every = truncate_every
         self._t0 = time.monotonic()
+        self._prev_cached: DataFrame | None = None
         if self.base:
             os.makedirs(self.base, exist_ok=True)
 
@@ -57,11 +60,50 @@ class CheckpointManager:
         return os.path.join(self.base, f"it={iteration}")
 
     def save(
-        self, df: DataFrame, iteration: int, key: str, counters: dict[str, Any]
-    ) -> DataFrame:
-        """Persist state; return a lineage-truncated, re-partitioned DF."""
+        self,
+        df: DataFrame,
+        iteration: int,
+        key: str,
+        counters: dict[str, Any],
+        stats_cols: list | None = None,
+    ):
+        """Persist state; return a lineage-truncated, co-partitioned DF.
+
+        With `stats_cols`, the convergence aggregates are computed in
+        the SAME Spark job that materializes the state and
+        `(state_df, stats_row)` is returned — in local (bench) mode
+        that makes each superstep exactly ONE job: persist() keeps the
+        join-output partitioning (hash(key, B)) so no re-exchange is
+        needed, unlike localCheckpoint which drops SQL partitioning
+        metadata and would force every next superstep join to
+        re-shuffle AND re-sort the much larger adjacency side.
+        Plan lineage is truncated every `truncate_every` iterations:
+        persist caches data but keeps the logical plan growing, and a
+        superstep references the previous state TWICE (gather join +
+        update join), so plan size doubles per iteration — depth d
+        costs 2^d plan copies in analysis/AQE-explain. 4 bounds that
+        at 16x while keeping 3 of 4 supersteps single-job.
+        """
         if self.mode == "local":
-            return df.localCheckpoint(eager=True)
+            out = df.persist()
+            row = None
+            if stats_cols is not None:
+                row = out.agg(*stats_cols).collect()[0]
+            else:
+                out.count()
+            if (iteration + 1) % self.truncate_every == 0:
+                trunc = out.localCheckpoint(eager=True).repartition(self.buckets, key)
+                out.unpersist()
+                out = trunc
+                cached = None
+            else:
+                cached = out
+            # previous iteration's cache is safe to drop only now —
+            # the current state is materialized above
+            if self._prev_cached is not None:
+                self._prev_cached.unpersist()
+            self._prev_cached = cached
+            return (out, row) if stats_cols is not None else out
         it_dir = self._it_dir(iteration)
         tmp = it_dir + ".tmp"
         if os.path.exists(tmp):
@@ -87,12 +129,18 @@ class CheckpointManager:
         }
         with open(os.path.join(tmp, "_lineage.json"), "w") as f:
             json.dump(lineage, f)
+        # stats must be computed while `back` still points at tmp —
+        # the rename below invalidates that read path
+        stats_row = back.agg(*stats_cols).collect()[0] if stats_cols is not None else None
         if os.path.exists(it_dir):
             shutil.rmtree(it_dir)
         os.rename(tmp, it_dir)
         # re-read + re-pin partitioning so the next superstep join stays
         # co-partitioned with the adjacency blocks
-        return self.spark.read.parquet(it_dir).repartition(self.buckets, key)
+        out = self.spark.read.parquet(it_dir).repartition(self.buckets, key)
+        if stats_cols is not None:
+            return out, stats_row
+        return out
 
     def latest(self) -> tuple[int, dict] | None:
         """Highest valid (=_SUCCESS + _lineage.json, matching

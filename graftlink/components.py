@@ -117,6 +117,7 @@ def _cc_minlabel(
     checkpoint_mode: str,
     resume: bool,
     fingerprint: str,
+    scatter_engine: str = "jvm",
 ) -> DataFrame:
     spark = edges.sparkSession
     adj = pack_adjacency(edges, buckets=buckets, undirected=True).persist()
@@ -132,34 +133,41 @@ def _cc_minlabel(
             start_it = found[0] + 1
             state = mgr.load(found[0], "id")
     if state is None:
+        # lazy repartition keeps hash(id, b) metadata for superstep 0
+        # (localCheckpoint would drop it — see checkpoint.py)
         state = verts.select(
             "id", F.col("id").alias("label")
-        ).repartition(buckets, "id").localCheckpoint(eager=True)
+        ).repartition(buckets, "id")
 
     for it in range(start_it, max_iter):
+        # shuffle_hash hints keep the cached adj un-sorted (see
+        # pagerank.py); prev label is carried in-row so convergence is
+        # one agg over the checkpointed state, not an extra join
         joined = adj.select("src", "neighbors").join(
-            state, adj["src"] == state["id"], "inner"
+            state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
         ).select("neighbors", "label")
-        msgs = scatter(joined, "label")
+        msgs = scatter(joined, "label", engine=scatter_engine)
         incoming = msgs.groupBy("dst").agg(F.min("label").alias("in_label"))
         new_state = (
-            state.join(incoming, state["id"] == incoming["dst"], "left")
+            state.join(
+                incoming.hint("shuffle_hash"), state["id"] == incoming["dst"], "left"
+            )
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("in_label", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev_label"),
             )
         )
-        new_state = mgr.save(new_state, it, "id", counters={"iteration": it})
-        changed = (
-            new_state.alias("a")
-            .join(state.alias("b"), "id")
-            .where(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
+        new_state, stats_row = mgr.save(
+            new_state, it, "id", counters={"iteration": it},
+            stats_cols=[
+                F.sum((F.col("label") != F.col("prev_label")).cast("long")).alias("c")
+            ],
         )
-        state = new_state
+        changed = stats_row["c"] or 0
+        state = new_state.select("id", "label")
         if changed == 0:
             break
     adj.unpersist()
@@ -177,6 +185,7 @@ def connected_components(
     checkpoint_mode: str = "durable",
     resume: bool = False,
     fingerprint: str = "",
+    scatter_engine: str = "jvm",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, component] (weak components,
     direction ignored). component is dense 0..k-1 when renumber=True,
@@ -189,7 +198,7 @@ def connected_components(
     elif algo == "minlabel":
         labels = _cc_minlabel(
             edges, verts, max_iter, b, checkpoint_dir, checkpoint_mode,
-            resume, fingerprint,
+            resume, fingerprint, scatter_engine,
         )
     else:
         raise ValueError(f"unknown cc algo: {algo}")

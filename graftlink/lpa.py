@@ -47,6 +47,7 @@ def label_propagation(
     resume: bool = False,
     fingerprint: str = "",
     stats: dict | None = None,
+    scatter_engine: str = "jvm",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community(long)]."""
     spark = edges.sparkSession
@@ -65,16 +66,17 @@ def label_propagation(
             start_it = found[0] + 1
             state = mgr.load(found[0], "id")
     if state is None:
-        state = verts.select("id", F.col("id").alias("label")).repartition(
-            b, "id"
-        ).localCheckpoint(eager=True)
+        # lazy repartition keeps hash(id, b) metadata for superstep 0
+        state = verts.select("id", F.col("id").alias("label")).repartition(b, "id")
 
     iterations = 0
     for it in range(start_it, max_iter):
+        # shuffle_hash hints + in-row prev label: same superstep plan
+        # discipline as pagerank.py / components.py
         joined = adj.select("src", "neighbors").join(
-            state, adj["src"] == state["id"], "inner"
+            state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
         ).select("neighbors", "label")
-        msgs = scatter(joined, "label")  # (dst, label) per edge
+        msgs = scatter(joined, "label", engine=scatter_engine)  # (dst, label) per edge
         self_votes = state.select(F.col("id").alias("dst"), "label")
         votes = (
             msgs.unionAll(self_votes)
@@ -88,20 +90,22 @@ def label_propagation(
             .select("dst", F.col("label").alias("new_label"))
         )
         new_state = (
-            state.join(winners, state["id"] == winners["dst"], "left")
+            state.join(
+                winners.hint("shuffle_hash"), state["id"] == winners["dst"], "left"
+            )
             .select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label")
+                "id", F.coalesce("new_label", F.col("label")).alias("label"),
+                F.col("label").alias("prev_label"),
             )
         )
-        new_state = mgr.save(new_state, it, "id", counters={"iteration": it})
-        changed = (
-            new_state.alias("a")
-            .join(state.alias("b"), "id")
-            .where(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
+        new_state, stats_row = mgr.save(
+            new_state, it, "id", counters={"iteration": it},
+            stats_cols=[
+                F.sum((F.col("label") != F.col("prev_label")).cast("long")).alias("c")
+            ],
         )
-        state = new_state
+        changed = stats_row["c"] or 0
+        state = new_state.select("id", "label")
         iterations = it + 1
         if changed == 0:
             break

@@ -12,12 +12,17 @@ it exactly). Convergence: L-inf delta < tol (default 1e-6 per
 BASELINE.json north_rule).
 
 Physical shape per superstep (SURVEY.md §3.2): co-partitioned
-`adj join state` (NO exchange — both sides hash(src/id) into B
-buckets) -> Arrow gather-scatter kernel -> ONE shuffle
-(groupBy(dst), partial+final agg; map-side partial aggregation
-absorbs in-degree hub skew) -> co-partitioned left join back onto the
-vertex universe -> checkpoint (durable parquet + lineage, also
-truncating the logical plan so it never grows with iterations).
+`adj join state` (shuffled-hash join, state is the build side; the
+cached adjacency is never exchanged or sorted) -> gather-scatter
+(JVM explode by default, Arrow numpy kernel via scatter_engine=
+"arrow"; see kernels.scatter for the measured tradeoff) -> ONE
+shuffle (groupBy(dst), partial+final agg; map-side partial
+aggregation absorbs in-degree hub skew) -> co-partitioned left join
+back onto the vertex universe -> state persist, with the convergence
+stats computed in the same materialization job and plan lineage
+truncated every 4 supersteps (exponential-plan guard) — durable mode
+writes every iteration to parquet + lineage JSON instead (the resume
+contract).
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ def pagerank(
     resume: bool = False,
     fingerprint: str | None = None,
     stats: dict | None = None,
+    scatter_engine: str = "jvm",
 ) -> DataFrame:
     """edges DF[src,dst] (+ optional vertices DF[id]) -> DF[id, rank].
 
@@ -81,8 +87,10 @@ def pagerank(
             start_it = found[0] + 1
             state = mgr.load(found[0], "id").select("id", "out_deg", "rank")
     if state is None:
+        # base is persisted with hash(id, b) partitioning; deriving the
+        # initial state lazily keeps that metadata (a checkpoint here
+        # would drop it and force an exchange in superstep 0)
         state = base.withColumn("rank", F.lit(1.0 / n))
-        state = state.localCheckpoint(eager=True)
 
     # one scan up front; inside the loop dangling mass + L-inf delta
     # both come from the single post-checkpoint stats scan (2 Spark
@@ -96,38 +104,50 @@ def pagerank(
 
     iterations = 0
     delta = float("inf")
+    iter_walls: list[float] = []
+    import time as _time
+
     for it in range(start_it, max_iter):
+        _t0 = _time.monotonic()
+        # shuffle_hash hints: state/pulled are the small build sides;
+        # without them Catalyst picks sort-merge and re-sorts the
+        # cached adjacency blocks EVERY superstep (measured 2-3x
+        # per-iteration cost at 2e7 edges)
         joined = adj.select("src", "neighbors").join(
-            state, adj["src"] == state["id"], "inner"
+            state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
         ).select("neighbors", "out_deg", "rank")
-        contrib = scatter(joined, "pagerank")
+        contrib = scatter(joined, "pagerank", engine=scatter_engine)
         pulled = contrib.groupBy("dst").agg(F.sum("contrib").alias("pull"))
         new_rank = F.lit((1.0 - d) / n) + F.lit(d) * (
             F.coalesce(F.col("pull"), F.lit(0.0)) + F.lit(dangling / n)
         )
-        new_state = state.join(pulled, state["id"] == pulled["dst"], "left").select(
+        new_state = state.join(
+            pulled.hint("shuffle_hash"), state["id"] == pulled["dst"], "left"
+        ).select(
             "id", "out_deg", new_rank.alias("rank"),
             F.col("rank").alias("prev_rank"),
         )
-        new_state = mgr.save(
+        new_state, stats_row = mgr.save(
             new_state, it, "id",
             counters={"edges_processed": int(m), "dangling_mass": dangling},
+            stats_cols=[
+                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dangling"),
+            ],
         )
-        stats_row = new_state.agg(
-            F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("delta"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))).alias("dangling"),
-        ).collect()[0]
         delta = stats_row["delta"]
         dangling = (stats_row["dangling"] or 0.0) if has_dangling else 0.0
         state = new_state.select("id", "out_deg", "rank")
         iterations = it + 1
+        iter_walls.append(round(_time.monotonic() - _t0, 3))
         if delta < tol:
             break
 
     if stats is not None:
         stats.update(
             {"iterations": iterations, "delta": delta, "n": n, "m": int(m),
-             "edges_processed": int(m) * max(iterations - start_it, 0)}
+             "edges_processed": int(m) * max(iterations - start_it, 0),
+             "iter_walls": iter_walls}
         )
     adj.unpersist()
     base.unpersist()

@@ -27,6 +27,13 @@ def get_spark(
     uses $SPARK_GRAFT_CPUS or all cores. On a real deployment the
     master comes from spark-submit and this value is ignored.
     """
+    # Cap numpy/BLAS threading inside Python workers: with W workers
+    # each spawning an OpenMP pool, the Arrow kernels anti-scale badly
+    # (measured 4x slowdown at local[32]); one thread per worker is
+    # the right shape — parallelism comes from Spark tasks.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cores_env}]"
@@ -57,6 +64,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # worker env on a real cluster (local mode inherits os.environ)
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
+        .config("spark.executorEnv.MKL_NUM_THREADS", os.environ["MKL_NUM_THREADS"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -85,3 +85,29 @@ def test_chunked_adjacency_invariance(spark):
 def test_multi_edges_count_twice(spark):
     pairs = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
     _assert_parity(spark, pairs, 3)
+
+
+def test_scatter_engines_agree(spark):
+    """jvm explode path == arrow kernel path, exactly the same update
+    arithmetic — ranks agree to float-sum reorder noise."""
+    import numpy as np
+
+    from tests.conftest import edges_df
+    from tests.oracles import er_edges
+
+    e = edges_df(spark, er_edges(50, 0.08, 7))
+    verts = spark.range(50)
+    jvm = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, vertices=verts, max_iter=10, tol=0.0,
+                          checkpoint_mode="local", scatter_engine="jvm").collect()
+    }
+    arrow = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, vertices=verts, max_iter=10, tol=0.0,
+                          checkpoint_mode="local", scatter_engine="arrow").collect()
+    }
+    assert set(jvm) == set(arrow)
+    got = np.array([jvm[k] for k in sorted(jvm)])
+    want = np.array([arrow[k] for k in sorted(jvm)])
+    assert np.allclose(got, want, atol=1e-12)
