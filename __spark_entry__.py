@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from graftlink import dedup as _dedup
+from graftlink import metrics as _metrics
 from graftlink import multimodal as _multimodal
 from graftlink import similarity as _similarity
 from graftlink import texthash as _texthash
@@ -219,6 +220,110 @@ def _q_local_clustering(spark, sf_dir):
     )
 
 
+def _q_graph_density(spark, sf_dir):
+    from graftlink.metrics import density
+
+    return density(doc_edges(spark, sf_dir))
+
+
+def _q_reciprocity(spark, sf_dir):
+    from graftlink.metrics import reciprocity
+
+    return reciprocity(doc_edges(spark, sf_dir))
+
+
+def _q_degree_distribution(spark, sf_dir):
+    from graftlink.metrics import degree_distribution
+
+    return degree_distribution(clean_edges(doc_edges(spark, sf_dir)), "all")
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    from graftlink.metrics import degree_assortativity
+
+    return degree_assortativity(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_k_core_3(spark, sf_dir):
+    from graftlink.kcore import k_core
+
+    return k_core(clean_edges(doc_edges(spark, sf_dir)), 3)
+
+
+def _q_core_numbers(spark, sf_dir):
+    from graftlink.kcore import core_numbers
+
+    return core_numbers(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_pagerank_weighted_top20(spark, sf_dir):
+    """Weighted PageRank: deterministic arithmetic weights on the
+    stand-in edge table (rows-only; value gate = pytest vs numpy)."""
+    from graftlink.pagerank import pagerank
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    ranks = pagerank(
+        e, vertices=vertex_universe(e), weight_col="weight",
+        checkpoint_mode="local", max_iter=60,
+    )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", F.round("rank", 8).alias("rank"))
+    )
+
+
+def _q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank seeded at doc_id % 50 == 0 (rows-only)."""
+    from graftlink.pagerank import pagerank
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    verts = vertex_universe(e)
+    pers = verts.where(F.col("id") % 50 == 0).select(
+        "id", F.lit(1.0).alias("p")
+    )
+    ranks = pagerank(
+        e, vertices=verts, personalization=pers,
+        checkpoint_mode="local", max_iter=60,
+    )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", F.round("rank", 8).alias("rank"))
+    )
+
+
+def _q_pages_pipeline_top10(spark, sf_dir):
+    """The full north-star pipeline on a deterministic synthetic
+    pages corpus (input_hint schema): pages -> latest-snapshot dedup
+    -> href extraction -> url dictionary -> dense edges -> PageRank
+    -> top-10 urls. Rows-only (extraction isn't SQL-expressible);
+    byte-parity + component gates live in pytest."""
+    from graftlink.extract import extract_edges
+    from graftlink.gen import synthetic_pages
+    from graftlink.pagerank import pagerank
+    from graftlink.vertices import encode_edges, encode_vertices
+
+    pages = synthetic_pages(spark, 1500, seed=42)
+    edges_str = extract_edges(pages)
+    urls = edges_str.select(F.col("src_url").alias("url")).unionByName(
+        edges_str.select(F.col("dst_url").alias("url"))
+    )
+    vertices = encode_vertices(urls)
+    edges = encode_edges(edges_str, vertices)
+    ranks = pagerank(edges, checkpoint_mode="local", max_iter=40)
+    return (
+        ranks.join(vertices, "id")
+        .orderBy(F.col("rank").desc(), F.col("url").asc())
+        .limit(10)
+        .select("url", F.round("rank", 8).alias("rank"))
+    )
+
+
 # --- training-data pipeline ops (textops / dedup / similarity / multimodal) ---
 
 _ANN_QUERY_IDS = [0, 100, 200, 300, 400]
@@ -360,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wedge_count": _q_wedge_count,
         "transitivity": _q_transitivity,
         "local_clustering": _q_local_clustering,
+        "graph_density": _q_graph_density,
+        "reciprocity": _q_reciprocity,
+        "degree_distribution": _q_degree_distribution,
+        "degree_assortativity": _q_degree_assortativity,
         "latest_event_per_user": _q_latest_event_per_user,
         "doc_token_stats": _q_doc_token_stats,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -382,6 +491,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative graph algorithms: rows-only here, pytest parity
         # suite is the value gate (BASELINE.md rows 4-6)
         "pagerank_top20": _q_pagerank_top20,
+        "pagerank_weighted_top20": _q_pagerank_weighted_top20,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "k_core_3": _q_k_core_3,
+        "core_numbers": _q_core_numbers,
+        "pages_pipeline_top10": _q_pages_pipeline_top10,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_communities": _q_lpa_communities,
@@ -509,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text
         """,
+        "graph_density": _metrics.density_sql(_CLEAN),
+        "reciprocity": _metrics.reciprocity_sql(_CLEAN),
+        "degree_distribution": _metrics.degree_distribution_sql(_CLEAN),
+        "degree_assortativity": _metrics.degree_assortativity_sql(_UND),
         "token_stats_full": _textops.token_stats_sql(),
         "quality_scores": _textops.quality_scores_sql(),
         "lang_id": _textops.lang_id_sql(),

@@ -28,8 +28,12 @@ def pack_adjacency(
     buckets: int | None = None,
     max_block: int = DEFAULT_MAX_BLOCK,
     undirected: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """edges DF[src, dst] -> adj DF[src, neighbors, out_deg].
+    """edges DF[src, dst] -> adj DF[src, neighbors, out_deg]
+    (+ `wnorm: array<double>` aligned with neighbors when weight_col
+    is given — per-src weights normalized to sum 1, the weighted-
+    PageRank transition row).
 
     undirected=True packs the union of both orientations (CC/LPA view);
     multi-edges are preserved as repeated neighbors (igraph semantics:
@@ -37,32 +41,66 @@ def pack_adjacency(
     """
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst")
-    if undirected:
-        e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    packed = (
-        e.repartition(b, "src")
-        .groupBy("src")
-        .agg(
-            F.sort_array(F.collect_list("dst")).alias("neighbors"),
-            F.count("*").alias("out_deg"),
+    if weight_col is None:
+        e = edges.select("src", "dst")
+        if undirected:
+            e = e.unionAll(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        packed = (
+            e.repartition(b, "src")
+            .groupBy("src")
+            .agg(
+                F.sort_array(F.collect_list("dst")).alias("neighbors"),
+                F.count("*").alias("out_deg"),
+            )
         )
-    )
-    # split hub rows into <= max_block chunks
-    adj = (
-        packed.withColumn(
-            "_chunk",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.floor((F.col("out_deg") - 1) / F.lit(max_block)).cast("int"),
+    else:
+        e = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        )
+        if undirected:
+            e = e.unionAll(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    F.col(weight_col).cast("double").alias("_w"),
                 )
-            ),
+            )
+        # sort_array on struct(dst, w) keeps the two arrays aligned
+        packed = (
+            e.repartition(b, "src")
+            .groupBy("src")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("dst", "_w"))).alias("_nb"),
+                F.count("*").alias("out_deg"),
+            )
+            .withColumn("neighbors", F.transform("_nb", lambda s: s["dst"]))
+            .withColumn("_ws", F.transform("_nb", lambda s: s["_w"]))
+            .withColumn(
+                "_wsum", F.aggregate("_ws", F.lit(0.0), lambda a, w: a + w)
+            )
+            .withColumn(
+                "wnorm",
+                F.transform("_ws", lambda w: w / F.col("_wsum")),
+            )
+            .drop("_nb", "_ws", "_wsum")
         )
-        .withColumn(
-            "neighbors",
-            F.slice(F.col("neighbors"), F.col("_chunk") * max_block + 1, max_block),
-        )
-        .drop("_chunk")
+    # split hub rows into <= max_block chunks
+    adj = packed.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("out_deg") - 1) / F.lit(max_block)).cast("int"),
+            )
+        ),
+    ).withColumn(
+        "neighbors",
+        F.slice(F.col("neighbors"), F.col("_chunk") * max_block + 1, max_block),
     )
-    return adj
+    if weight_col is not None:
+        adj = adj.withColumn(
+            "wnorm",
+            F.slice(F.col("wnorm"), F.col("_chunk") * max_block + 1, max_block),
+        )
+    return adj.drop("_chunk")

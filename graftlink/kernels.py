@@ -46,6 +46,23 @@ def pr_scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         )
 
 
+def pr_scatter_weighted(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """(neighbors, wnorm, rank) -> (dst, contrib=rank*wnorm)."""
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        flat, lengths = _flatten(b.column("neighbors"))
+        wflat = pc.list_flatten(b.column("wnorm")).to_numpy(zero_copy_only=False)
+        rank = b.column("rank").to_numpy(zero_copy_only=False)
+        contrib = np.repeat(rank, lengths) * wflat
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(flat, pa.int64()), pa.array(contrib, pa.float64())],
+            ["dst", "contrib"],
+        )
+
+
 def label_scatter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """(neighbors, label) -> (dst, label) — one message per edge."""
     for b in batches:
@@ -82,6 +99,12 @@ def scatter(joined, kind: str, engine: str = "jvm"):
                 F.explode("neighbors").alias("dst"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
             )
+        if kind == "pagerank_weighted":
+            z = F.explode(F.arrays_zip("neighbors", "wnorm")).alias("z")
+            return joined.select(z, "rank").select(
+                F.col("z.neighbors").alias("dst"),
+                (F.col("rank") * F.col("z.wnorm")).alias("contrib"),
+            )
         if kind == "label":
             return joined.select(
                 F.explode("neighbors").alias("dst"), F.col("label")
@@ -89,6 +112,7 @@ def scatter(joined, kind: str, engine: str = "jvm"):
         raise ValueError(f"unknown scatter kind: {kind}")
     kernels: dict[str, tuple[Callable, str]] = {
         "pagerank": (pr_scatter, PR_CONTRIB_SCHEMA),
+        "pagerank_weighted": (pr_scatter_weighted, PR_CONTRIB_SCHEMA),
         "label": (label_scatter, LABEL_MSG_SCHEMA),
     }
     fn, schema = kernels[kind]

@@ -1,0 +1,151 @@
+"""Graph-level metrics: density, reciprocity, degree distribution,
+degree assortativity.
+
+igraph surface being matched (upstream anchors; checkout was empty,
+SURVEY.md header):
+- igraph_density            (igraph@0.10.x src/properties/basic_properties.c)
+- igraph_reciprocity        (same file; default ratio mode, ignoring loops)
+- igraph_assortativity_degree (src/properties/degrees.c wrapper over
+  igraph_assortativity) — undirected convention: Pearson correlation
+  of endpoint degrees over the edge list with each edge counted in
+  both orientations.
+
+All four are single-pass joins/aggregations — fully whole-stage-
+codegen, shuffle only on the degree groupBys — and each ships a
+DuckDB twin in __spark_entry__ so the driver value-checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _und(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def density(edges: DataFrame, n_vertices: int | None = None) -> DataFrame:
+    """One-row DF[n_vertices, n_edges, density] — directed simple-graph
+    density m / (n*(n-1)), self-loops and duplicates dropped."""
+    from graftlink.docs_graph import clean_edges
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(edges)
+    n = n_vertices if n_vertices is not None else vertex_universe(e).count()
+    return e.agg(F.count("*").alias("n_edges")).select(
+        F.lit(n).cast("long").alias("n_vertices"),
+        "n_edges",
+        F.round(F.col("n_edges") / F.lit(float(n * (n - 1))), 8).alias("density"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row DF[reciprocity] — fraction of directed edges whose
+    reverse edge also exists (igraph default ratio mode; loops
+    ignored). Semi-join against the flipped table; at scale both sides
+    hash-partition on (src, dst) so the join is one co-keyed shuffle."""
+    from graftlink.docs_graph import clean_edges
+
+    e = clean_edges(edges)
+    flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = e.join(flipped, ["src", "dst"], "left_semi")
+    return mutual.agg(F.count("*").alias("_m")).crossJoin(
+        e.agg(F.count("*").alias("_t"))
+    ).select(F.round(F.col("_m") / F.col("_t"), 8).alias("reciprocity"))
+
+
+def degree_distribution(edges: DataFrame, direction: str = "all") -> DataFrame:
+    """DF[degree, n_vertices] — histogram of vertex degrees."""
+    from graftlink.vertices import degrees
+
+    return (
+        degrees(edges, direction)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row DF[assortativity] — Pearson correlation of endpoint
+    degrees over the undirected simple edge list, each edge counted in
+    both orientations (networkx/igraph undirected convention)."""
+    und = _und(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        both.join(da, "a")
+        .join(db, "b")
+        .agg(F.round(F.corr("deg_a", "deg_b"), 8).alias("assortativity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (over the documents stand-in edge SQL)
+# ---------------------------------------------------------------------------
+
+
+def density_sql(clean_edges_sql: str) -> str:
+    return f"""
+        WITH e AS ({clean_edges_sql}),
+        v AS (SELECT count(*) AS n FROM
+              (SELECT src AS id FROM e UNION SELECT dst FROM e))
+        SELECT v.n AS n_vertices, (SELECT count(*) FROM e) AS n_edges,
+               round((SELECT count(*) FROM e) / (CAST(v.n AS DOUBLE) * (v.n - 1)), 8)
+                 AS density
+        FROM v
+    """
+
+
+def reciprocity_sql(clean_edges_sql: str) -> str:
+    return f"""
+        WITH e AS ({clean_edges_sql})
+        SELECT round(
+            (SELECT count(*) FROM e
+             WHERE EXISTS (SELECT 1 FROM e r
+                           WHERE r.src = e.dst AND r.dst = e.src))
+            / CAST((SELECT count(*) FROM e) AS DOUBLE), 8) AS reciprocity
+    """
+
+
+def degree_distribution_sql(clean_edges_sql: str) -> str:
+    return f"""
+        WITH e AS ({clean_edges_sql}),
+        deg AS (
+            SELECT id, count(*) AS degree FROM (
+                SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+            ) GROUP BY id
+        )
+        SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+    """
+
+
+def degree_assortativity_sql(und_sql: str) -> str:
+    return f"""
+        WITH und AS ({und_sql}),
+        deg AS (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY id
+        ),
+        both_dir AS (
+            SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+        )
+        SELECT round(corr(da.deg, db.deg), 8) AS assortativity
+        FROM both_dir e
+        JOIN deg da ON e.a = da.id
+        JOIN deg db ON e.b = db.id
+    """

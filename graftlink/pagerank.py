@@ -50,27 +50,50 @@ def pagerank(
     fingerprint: str | None = None,
     stats: dict | None = None,
     scatter_engine: str = "jvm",
+    weight_col: str | None = None,
+    personalization: DataFrame | None = None,
 ) -> DataFrame:
     """edges DF[src,dst] (+ optional vertices DF[id]) -> DF[id, rank].
 
     vertices defaults to all ids appearing at either endpoint; pass it
     explicitly to include isolated vertices (rank floor (1-d)/n).
+
+    weight_col: name of an edge weight column -> weighted PageRank
+    (igraph_pagerank's `weights` arg): a vertex distributes rank to
+    out-neighbors proportionally to edge weight.
+
+    personalization: DF[id, p] reset distribution (normalized
+    internally) -> personalized PageRank (igraph_personalized_pagerank
+    / networkx `personalization=`); dangling mass is also
+    redistributed by p (networkx convention). Vertices absent from the
+    frame get p=0.
     """
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = damping
 
     verts = (vertices or vertex_universe(edges)).select("id").repartition(b, "id")
-    adj = pack_adjacency(edges, buckets=b, max_block=max_block).persist()
+    adj = pack_adjacency(
+        edges, buckets=b, max_block=max_block, weight_col=weight_col
+    ).persist()
+    scatter_kind = "pagerank" if weight_col is None else "pagerank_weighted"
+    adj_cols = ["src", "neighbors"] + (["wnorm"] if weight_col else [])
+    rank_cols = ["out_deg", "rank"] if weight_col is None else ["rank"]
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_deg")
     )
-    # static per-vertex frame: id + out_deg (0 => dangling)
-    base = (
-        verts.join(out_deg, "id", "left")
-        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .persist()
+    # static per-vertex frame: id + out_deg (0 => dangling) + reset p
+    base = verts.join(out_deg, "id", "left").select(
+        "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
+    if personalization is not None:
+        psum = personalization.agg(F.sum("p")).collect()[0][0]
+        base = base.join(
+            personalization.select("id", (F.col("p") / F.lit(psum)).alias("p")),
+            "id",
+            "left",
+        ).select("id", "out_deg", F.coalesce("p", F.lit(0.0)).alias("p"))
+    base = base.persist()
     n = base.count()
     m = adj.agg(F.sum(F.size("neighbors"))).collect()[0][0] or 0
     has_dangling = base.filter(F.col("out_deg") == 0).limit(1).count() > 0
@@ -79,18 +102,20 @@ def pagerank(
         checkpoint_dir, "pagerank", spark,
         input_fingerprint=fingerprint or "", mode=checkpoint_mode, buckets=b,
     )
+    state_cols = ["id", "out_deg"] + (["p"] if personalization is not None else [])
     start_it = 0
     state = None
     if resume:
         found = mgr.latest()
         if found is not None:
             start_it = found[0] + 1
-            state = mgr.load(found[0], "id").select("id", "out_deg", "rank")
+            state = mgr.load(found[0], "id").select(*state_cols, "rank")
     if state is None:
         # base is persisted with hash(id, b) partitioning; deriving the
         # initial state lazily keeps that metadata (a checkpoint here
         # would drop it and force an exchange in superstep 0)
-        state = base.withColumn("rank", F.lit(1.0 / n))
+        init_rank = F.col("p") if personalization is not None else F.lit(1.0 / n)
+        state = base.withColumn("rank", init_rank)
 
     # one scan up front; inside the loop dangling mass + L-inf delta
     # both come from the single post-checkpoint stats scan (2 Spark
@@ -113,18 +138,24 @@ def pagerank(
         # without them Catalyst picks sort-merge and re-sorts the
         # cached adjacency blocks EVERY superstep (measured 2-3x
         # per-iteration cost at 2e7 edges)
-        joined = adj.select("src", "neighbors").join(
+        joined = adj.select(*adj_cols).join(
             state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
-        ).select("neighbors", "out_deg", "rank")
-        contrib = scatter(joined, "pagerank", engine=scatter_engine)
+        ).select(*(adj_cols[1:] + rank_cols))
+        contrib = scatter(joined, scatter_kind, engine=scatter_engine)
         pulled = contrib.groupBy("dst").agg(F.sum("contrib").alias("pull"))
-        new_rank = F.lit((1.0 - d) / n) + F.lit(d) * (
-            F.coalesce(F.col("pull"), F.lit(0.0)) + F.lit(dangling / n)
-        )
+        pull_term = F.coalesce(F.col("pull"), F.lit(0.0))
+        if personalization is not None:
+            new_rank = F.lit(1.0 - d) * F.col("p") + F.lit(d) * (
+                pull_term + F.lit(dangling) * F.col("p")
+            )
+        else:
+            new_rank = F.lit((1.0 - d) / n) + F.lit(d) * (
+                pull_term + F.lit(dangling / n)
+            )
         new_state = state.join(
             pulled.hint("shuffle_hash"), state["id"] == pulled["dst"], "left"
         ).select(
-            "id", "out_deg", new_rank.alias("rank"),
+            *state_cols, new_rank.alias("rank"),
             F.col("rank").alias("prev_rank"),
         )
         new_state, stats_row = mgr.save(
@@ -137,7 +168,7 @@ def pagerank(
         )
         delta = stats_row["delta"]
         dangling = (stats_row["dangling"] or 0.0) if has_dangling else 0.0
-        state = new_state.select("id", "out_deg", "rank")
+        state = new_state.select(*state_cols, "rank")
         iterations = it + 1
         iter_walls.append(round(_time.monotonic() - _t0, 3))
         if delta < tol:
