@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from graftlink.adjacency import pack_adjacency
 from graftlink.checkpoint import CheckpointManager
@@ -83,12 +82,13 @@ def label_propagation(
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("dst").orderBy(F.col("cnt").desc(), F.col("label").asc())
-        winners = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("dst", F.col("label").alias("new_label"))
-        )
+        # majority pick as one hash agg: max(struct(cnt, -label)) ==
+        # "highest count, ties -> minimum label" — replaces a window
+        # row_number whose per-dst sort cost a full extra sort+shuffle
+        # pass every superstep
+        winners = votes.groupBy("dst").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m")
+        ).select("dst", (-F.col("_m._nl")).alias("new_label"))
         new_state = (
             state.join(
                 winners.hint("shuffle_hash"), state["id"] == winners["dst"], "left"

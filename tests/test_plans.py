@@ -1,0 +1,135 @@
+"""Physical-plan assertions (BASELINE.md rows 1/10 discipline).
+
+Correctness tests prove the numbers; these prove the PLANS — the
+properties that decide whether the same code survives a 100x
+scale-up: scan pushdown/pruning, sort-free co-partitioned superstep
+joins, map-side partial aggregation, top-k without a global sort, and
+the no-per-row-Python API gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graftlink.adjacency import pack_adjacency
+from graftlink.kernels import scatter
+from tests.conftest import edges_df
+from tests.oracles import er_edges
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from graftlink.gen import synthetic_pages
+
+    p = str(tmp_path_factory.mktemp("plans") / "pages")
+    synthetic_pages(spark, 300, seed=42).write.parquet(p)
+    return p
+
+
+def test_scan_pushdown_and_pruning(spark, pages_path):
+    """lang filter reaches the parquet scan; html/text never read for
+    a url-only projection."""
+    from graftlink.sources import read_pages
+
+    q = read_pages(spark, pages_path).where(F.col("lang") == "en").select("url")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "html" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_superstep_join_is_sort_free(spark):
+    """adj join state plans as ShuffledHashJoin — never SortMergeJoin,
+    which would re-sort the cached adjacency every superstep."""
+    e = edges_df(spark, er_edges(60, 0.1, 3))
+    b = 4
+    adj = pack_adjacency(e, buckets=b).persist()
+    adj.count()
+    state = (
+        adj.select(F.col("src").alias("id")).distinct()
+        .withColumn("rank", F.lit(0.1)).withColumn("out_deg", F.lit(1))
+        .repartition(b, "id")
+    )
+    joined = adj.select("src", "neighbors").join(
+        state.hint("shuffle_hash"), adj["src"] == state["id"]
+    )
+    plan = plan_of(joined)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    adj.unpersist()
+
+
+def test_contrib_reduce_has_partial_agg(spark):
+    """The shuffle-reduce does map-side partial aggregation (two
+    HashAggregate levels around the exchange)."""
+    e = edges_df(spark, er_edges(60, 0.1, 3))
+    adj = pack_adjacency(e, buckets=4)
+    joined = adj.withColumn("rank", F.lit(0.1)).select(
+        "neighbors", "out_deg", "rank"
+    )
+    pulled = scatter(joined, "pagerank").groupBy("dst").agg(
+        F.sum("contrib").alias("pull")
+    )
+    plan = plan_of(pulled)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_jvm_scatter_stays_in_codegen(spark):
+    """Default scatter engine never crosses into Python: no
+    ArrowEvalPython / mapInArrow node in the plan."""
+    e = edges_df(spark, er_edges(60, 0.1, 3))
+    adj = pack_adjacency(e, buckets=4)
+    joined = adj.withColumn("rank", F.lit(0.1)).select(
+        "neighbors", "out_deg", "rank"
+    )
+    plan = plan_of(scatter(joined, "pagerank", engine="jvm"))
+    for py_node in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert py_node not in plan, py_node
+    assert "Generate" in plan  # codegen'd explode (AQE prints spans only post-exec)
+    plan_arrow = plan_of(scatter(joined, "pagerank", engine="arrow"))
+    assert "MapInArrow" in plan_arrow or "ArrowEvalPython" in plan_arrow
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy().limit() plans as TakeOrderedAndProject — per-partition
+    heaps + tiny driver merge, not a global sort."""
+    e = edges_df(spark, er_edges(60, 0.1, 3))
+    deg = e.groupBy("src").count()
+    q = deg.orderBy(F.col("count").desc()).limit(5)
+    assert "TakeOrderedAndProject" in plan_of(q)
+
+
+def test_no_row_wise_python_udfs_in_engine():
+    """API gate (BASELINE.json:15 'no per-row Python'): the engine
+    never registers a row-wise @udf; only mapInArrow/applyInPandas
+    vectorized surfaces are allowed."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "graftlink"
+    offenders = []
+    for f in root.glob("*.py"):
+        src = f.read_text()
+        for marker in ("@udf", "F.udf(", "functions.udf(", "pandas_udf("):
+            # pandas_udf scalar-iter would be fine, but the engine
+            # standardizes on mapInArrow; flag any drift for review
+            if marker in src:
+                offenders.append((f.name, marker))
+    assert not offenders, offenders
+
+
+def test_state_partitioning_survives_superstep(spark):
+    """The per-superstep state keeps exactly B partitions (the
+    co-partitioning contract AQE must not silently coalesce)."""
+    from graftlink.pagerank import pagerank
+
+    e = edges_df(spark, er_edges(60, 0.1, 3))
+    out = pagerank(e, max_iter=3, tol=0.0, checkpoint_mode="local", buckets=4)
+    assert out.rdd.getNumPartitions() == 4
