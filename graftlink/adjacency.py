@@ -8,11 +8,21 @@ every downstream groupBy/join output is co-partitioned with adj and
 the per-superstep `adj join state` needs NO exchange (SURVEY.md
 §4.2.3) — the only shuffle per superstep is the contribution reduce.
 
-Hub handling: a src whose neighbor list exceeds `max_block` is split
-into multiple adjacency rows (`slice` on the packed array, JVM-side),
-bounding Arrow batch memory in the scatter kernel; `out_deg` stays
-the FULL degree so rank/out_deg is correct per chunk (SURVEY.md
-§4.2.4). Results are provably independent of max_block (tested).
+Hub-vertex skew (north_rule "salted repartitioning"): collect_list
+has NO map-side combine, so without salting every edge of a hub src
+funnels into ONE reducer task and one giant aggregation buffer — the
+one place in the engine where partial aggregation doesn't absorb
+power-law skew (sum/min/count reduces are skew-immune via partial
+agg; the scatter side is bounded by the block split). The fix is the
+two-phase salted pack: a cheap skew-immune degree pre-pass finds
+srcs with deg > max_block (a tiny broadcast at web-graph power laws),
+their edges get salt = hash(dst) mod ceil(deg/max_block), and the
+pack groups by (src, salt) so no reducer sees more than ~max_block
+rows; `out_deg` keeps the FULL degree so rank/out_deg stays correct
+per chunk, and the final repartition(b, src) moves already-packed
+array rows, never raw edges. Chunk sizes also bound Arrow batch
+memory in the scatter kernel (SURVEY.md §4.2.4). Results are
+independent of max_block (tested).
 """
 
 from __future__ import annotations
@@ -47,18 +57,8 @@ def pack_adjacency(
             e = e.unionAll(
                 edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-        packed = (
-            e.repartition(b, "src")
-            .groupBy("src")
-            .agg(
-                F.sort_array(F.collect_list("dst")).alias("neighbors"),
-                F.count("*").alias("out_deg"),
-            )
-        )
     else:
-        e = edges.select(
-            "src", "dst", F.col(weight_col).cast("double").alias("_w")
-        )
+        e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("_w"))
         if undirected:
             e = e.unionAll(
                 edges.select(
@@ -66,41 +66,54 @@ def pack_adjacency(
                     F.col(weight_col).cast("double").alias("_w"),
                 )
             )
-        # sort_array on struct(dst, w) keeps the two arrays aligned
+
+    # skew-immune degree pre-pass (partial-agg count; + weight sums
+    # for the weighted transition row); only hub srcs are broadcast
+    deg_aggs = [F.count("*").alias("_deg")]
+    if weight_col is not None:
+        deg_aggs.append(F.sum("_w").alias("_wsum"))
+    deg = e.groupBy("src").agg(*deg_aggs)
+    heavy = deg.where(F.col("_deg") > max_block)
+    salted = e.join(F.broadcast(heavy), "src", "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_deg").isNotNull(),
+            F.pmod(F.xxhash64("dst"), F.ceil(F.col("_deg") / max_block).cast("long")),
+        ).otherwise(F.lit(0)),
+    )
+
+    if weight_col is None:
         packed = (
-            e.repartition(b, "src")
-            .groupBy("src")
+            salted.groupBy("src", "_salt")
+            .agg(
+                F.sort_array(F.collect_list("dst")).alias("neighbors"),
+                F.count("*").alias("_cnt"),
+                F.first("_deg").alias("_deg"),
+            )
+            .select(
+                "src", "neighbors",
+                F.coalesce("_deg", F.col("_cnt")).alias("out_deg"),
+            )
+        )
+    else:
+        # sort_array on struct(dst, w) keeps the two arrays aligned;
+        # weights normalize by the FULL per-src weight sum
+        wsum_full = deg.select("src", "_wsum")
+        packed = (
+            salted.groupBy("src", "_salt")
             .agg(
                 F.sort_array(F.collect_list(F.struct("dst", "_w"))).alias("_nb"),
-                F.count("*").alias("out_deg"),
+                F.count("*").alias("_cnt"),
+                F.first("_deg").alias("_hdeg"),
             )
-            .withColumn("neighbors", F.transform("_nb", lambda s: s["dst"]))
-            .withColumn("_ws", F.transform("_nb", lambda s: s["_w"]))
-            .withColumn(
-                "_wsum", F.aggregate("_ws", F.lit(0.0), lambda a, w: a + w)
+            .join(wsum_full, "src")
+            .select(
+                "src",
+                F.transform("_nb", lambda s: s["dst"]).alias("neighbors"),
+                F.transform("_nb", lambda s: s["_w"] / F.col("_wsum")).alias("wnorm"),
+                F.coalesce("_hdeg", F.col("_cnt")).alias("out_deg"),
             )
-            .withColumn(
-                "wnorm",
-                F.transform("_ws", lambda w: w / F.col("_wsum")),
-            )
-            .drop("_nb", "_ws", "_wsum")
         )
-    # split hub rows into <= max_block chunks
-    adj = packed.withColumn(
-        "_chunk",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.col("out_deg") - 1) / F.lit(max_block)).cast("int"),
-            )
-        ),
-    ).withColumn(
-        "neighbors",
-        F.slice(F.col("neighbors"), F.col("_chunk") * max_block + 1, max_block),
-    )
-    if weight_col is not None:
-        adj = adj.withColumn(
-            "wnorm",
-            F.slice(F.col("wnorm"), F.col("_chunk") * max_block + 1, max_block),
-        )
-    return adj.drop("_chunk")
+    # packed rows (arrays, <= ~max_block each), not raw edges, take the
+    # final src-bucket exchange — the co-partitioning contract
+    return packed.repartition(b, "src")

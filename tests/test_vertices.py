@@ -61,3 +61,23 @@ def test_degrees(spark):
     assert inn == {1: 1, 2: 2, 0: 1}
     alld = {r["id"]: r["degree"] for r in degrees(e, "all").collect()}
     assert alld == {0: 3, 1: 2, 2: 2, 3: 1}
+
+
+def test_salted_pack_splits_hub_and_keeps_full_degree(spark):
+    """A src with deg > max_block is packed as multiple (src, chunk)
+    rows by the salted two-phase pack; out_deg stays the full degree
+    on every chunk (the rank/out_deg correctness invariant)."""
+    from pyspark.sql import functions as F
+
+    from graftlink.adjacency import pack_adjacency
+    from tests.conftest import edges_df
+
+    hub_edges = [(0, i) for i in range(1, 101)] + [(1, 2), (2, 3)]
+    e = edges_df(spark, hub_edges)
+    adj = pack_adjacency(e, buckets=4, max_block=16)
+    rows = adj.where(F.col("src") == 0).collect()
+    assert len(rows) >= 4  # 100 neighbors / 16 per block
+    assert all(r.out_deg == 100 for r in rows)
+    assert all(len(r.neighbors) <= 40 for r in rows)  # ~max_block + hash slack
+    got = sorted(n for r in rows for n in r.neighbors)
+    assert got == list(range(1, 101))  # no neighbor lost or duplicated
