@@ -139,11 +139,14 @@ def main():
     from graftlink.vertices import degrees
     from pyspark.sql import functions as F
 
-    # q1: PageRank fixed supersteps (throughput headline)
+    # q1: PageRank fixed supersteps (wall incl. setup, small graph)
     wall = pagerank_fixed(spark, edges)
     queries["pagerank_5it"] = round(wall, 2)
-    superstep_eps = PR_FIXED_ITERS * N_EDGES / wall
-    log(f"pagerank_5it {wall:.1f}s ({superstep_eps:,.0f} edges/s/superstep)")
+    # headline throughput = the MEDIAN steady-state superstep rate at
+    # local[32] on the big scaling graph (robust to this box's ~2x
+    # run-to-run variance; a single 5-iteration wall incl. setup is not)
+    superstep_eps = scaling["local[32]_secondary"]["edges_per_sec"]
+    log(f"pagerank_5it {wall:.1f}s (headline median {superstep_eps:,.0f} edges/s/superstep)")
 
     # q2: PageRank to convergence (1e-6) — iterations + wall
     stats: dict = {}
@@ -221,7 +224,8 @@ def main():
             f"m={N_EDGES:,} edges, seed 42 (graftlink/gen.py).\n\n"
             "| metric | value | config |\n| --- | --- | --- |\n"
             f"| superstep throughput | {superstep_eps:,.0f} edges/s/superstep "
-            f"| PageRank, {PR_FIXED_ITERS} supersteps, local[{CPUS}] |\n"
+            f"| PageRank, median steady-state superstep, "
+            f"{SCALE_EDGES:,}-edge graph, local[32] |\n"
             f"| PageRank to L-inf<1e-6 | {queries['pagerank_converge_1e6']} s "
             f"({iters} iterations) | damping 0.85, local[{CPUS}] |\n"
             f"| CC (large-star/small-star) | {queries['components_star']} s "
