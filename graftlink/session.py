@@ -34,6 +34,16 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    # Python workers must import graftlink (Arrow kernels) regardless
+    # of the driver's cwd; on spark-submit deployments --py-files
+    # covers this instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     if cores is None:
         cores_env = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cores_env}]"
