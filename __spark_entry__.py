@@ -297,6 +297,31 @@ def _q_pagerank_personalized(spark, sf_dir):
     )
 
 
+def _q_hits_top20(spark, sf_dir):
+    from graftlink.spectral import hits
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    return (
+        hits(e, max_iter=15)
+        .orderBy(F.col("authority").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", F.round("hub", 8).alias("hub"),
+                F.round("authority", 8).alias("authority"))
+    )
+
+
+def _q_eigenvector_top20(spark, sf_dir):
+    from graftlink.spectral import eigenvector_centrality
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    return (
+        eigenvector_centrality(e, max_iter=30)
+        .orderBy(F.col("centrality").desc(), F.col("id").asc())
+        .limit(20)
+        .select("id", F.round("centrality", 8).alias("centrality"))
+    )
+
+
 def _q_pages_pipeline_top10(spark, sf_dir):
     """The full north-star pipeline on a deterministic synthetic
     pages corpus (input_hint schema): pages -> latest-snapshot dedup
@@ -495,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "k_core_3": _q_k_core_3,
         "core_numbers": _q_core_numbers,
+        "hits_top20": _q_hits_top20,
+        "eigenvector_top20": _q_eigenvector_top20,
         "pages_pipeline_top10": _q_pages_pipeline_top10,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,

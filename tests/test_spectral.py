@@ -1,0 +1,57 @@
+"""HITS + eigenvector centrality vs numpy dense oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graftlink.spectral import eigenvector_centrality, hits
+from tests.conftest import edges_df
+from tests.oracles import er_edges, karate_edges
+
+
+def np_hits(n, pairs, iters=500):
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = 1.0
+    h = np.ones(n)
+    for _ in range(iters):
+        a_vec = A.T @ h
+        a_vec /= np.linalg.norm(a_vec) or 1.0
+        h = A @ a_vec
+        h /= np.linalg.norm(h) or 1.0
+    return h / h.max(), a_vec / a_vec.max()
+
+
+def np_eigen(n, pairs, iters=1000):
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = 1.0
+        A[b, a] = 1.0
+    x = np.ones(n)
+    for _ in range(iters):
+        x = A @ x
+        x /= np.linalg.norm(x)
+    return x / x.max()
+
+
+def test_hits_directed_vs_numpy(spark):
+    pairs = er_edges(30, 0.12, 9)
+    e = edges_df(spark, pairs)
+    got = {r.id: (r.hub, r.authority) for r in
+           hits(e, vertices=spark.range(30), tol=1e-11, max_iter=60).collect()}
+    h, a = np_hits(30, pairs)
+    for i in range(30):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-3), f"hub {i}"
+        assert got[i][1] == pytest.approx(a[i], abs=1e-3), f"auth {i}"
+
+
+def test_eigenvector_karate_vs_numpy(spark):
+    pairs = karate_edges()
+    e = edges_df(spark, pairs)
+    got = {r.id: r.centrality for r in
+           eigenvector_centrality(e, vertices=spark.range(34),
+                                  tol=1e-10, max_iter=300).collect()}
+    want = np_eigen(34, pairs)
+    for i in range(34):
+        assert got[i] == pytest.approx(want[i], abs=1e-3), i
