@@ -244,6 +244,20 @@ def _q_degree_assortativity(spark, sf_dir):
     return degree_assortativity(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_vertex_similarity(spark, sf_dir):
+    from graftlink.metrics import vertex_jaccard_similarity
+
+    return vertex_jaccard_similarity(
+        clean_edges(doc_edges(spark, sf_dir)), min_common=2
+    )
+
+
+def _q_bfs_distances(spark, sf_dir):
+    from graftlink.paths import bfs_distances
+
+    return bfs_distances(clean_edges(doc_edges(spark, sf_dir)), source=0)
+
+
 def _q_k_core_3(spark, sf_dir):
     from graftlink.kcore import k_core
 
@@ -492,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_clustering": _q_local_clustering,
         "graph_density": _q_graph_density,
         "reciprocity": _q_reciprocity,
+        "vertex_similarity": _q_vertex_similarity,
         "degree_distribution": _q_degree_distribution,
         "degree_assortativity": _q_degree_assortativity,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -522,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "hits_top20": _q_hits_top20,
         "eigenvector_top20": _q_eigenvector_top20,
+        "bfs_distances": _q_bfs_distances,
         "pages_pipeline_top10": _q_pages_pipeline_top10,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
@@ -654,6 +670,9 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _metrics.reciprocity_sql(_CLEAN),
         "degree_distribution": _metrics.degree_distribution_sql(_CLEAN),
         "degree_assortativity": _metrics.degree_assortativity_sql(_UND),
+        "vertex_similarity": _metrics.vertex_jaccard_similarity_sql(
+            _UND, min_common=2
+        ),
         "token_stats_full": _textops.token_stats_sql(),
         "quality_scores": _textops.quality_scores_sql(),
         "lang_id": _textops.lang_id_sql(),

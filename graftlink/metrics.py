@@ -94,6 +94,44 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def vertex_jaccard_similarity(
+    edges: DataFrame, min_common: int = 1, threshold: float = 0.0
+) -> DataFrame:
+    """DF[a, b, similarity] (a<b) — Jaccard similarity of undirected
+    neighbor sets (igraph_similarity_jaccard semantics over vertex
+    pairs with >= min_common shared neighbors; pairs with none are
+    omitted rather than emitted as 0, which keeps the output linear
+    in wedge count instead of n^2).
+
+    Plan: wedge self-join through the shared neighbor (both edges of
+    the wedge keyed on the center vertex — one co-keyed shuffle),
+    count common neighbors per pair, then |N(a) u N(b)| = da+db-common
+    from the degree table. All built-in joins/aggs."""
+    und = _und(edges)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # (center c, leaf x): each undirected edge in both directions
+    inc = both.select(F.col("a").alias("c"), F.col("b").alias("x"))
+    wedges = (
+        inc.alias("l")
+        .join(inc.alias("r"), "c")
+        .where(F.col("l.x") < F.col("r.x"))
+        .select(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(F.count("*").alias("common"))
+    deg = inc.groupBy(F.col("c").alias("id")).agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    sim = F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+    return (
+        common.where(F.col("common") >= min_common)
+        .join(da, "a")
+        .join(db, "b")
+        .select("a", "b", F.round(sim, 8).alias("similarity"))
+        .where(F.col("similarity") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB twins (over the documents stand-in edge SQL)
 # ---------------------------------------------------------------------------
 
@@ -148,4 +186,28 @@ def degree_assortativity_sql(und_sql: str) -> str:
         FROM both_dir e
         JOIN deg da ON e.a = da.id
         JOIN deg db ON e.b = db.id
+    """
+
+
+def vertex_jaccard_similarity_sql(und_sql: str, min_common: int = 1,
+                                  threshold: float = 0.0) -> str:
+    return f"""
+        WITH und AS ({und_sql}),
+        inc AS (
+            SELECT a AS c, b AS x FROM und
+            UNION ALL SELECT b AS c, a AS x FROM und
+        ),
+        common AS (
+            SELECT l.x AS a, r.x AS b, count(*) AS common
+            FROM inc l JOIN inc r ON l.c = r.c AND l.x < r.x
+            GROUP BY l.x, r.x HAVING count(*) >= {min_common}
+        ),
+        deg AS (SELECT c AS id, count(*) AS deg FROM inc GROUP BY c)
+        SELECT common.a, common.b,
+               round(CAST(common AS DOUBLE)
+                     / (da.deg + db.deg - common), 8) AS similarity
+        FROM common
+        JOIN deg da ON common.a = da.id
+        JOIN deg db ON common.b = db.id
+        WHERE CAST(common AS DOUBLE) / (da.deg + db.deg - common) >= {threshold}
     """

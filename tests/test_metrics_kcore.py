@@ -149,3 +149,47 @@ def test_weighted_uniform_equals_unweighted(spark):
     got = np.array([w[k] for k in sorted(uw)])
     want = np.array([uw[k] for k in sorted(uw)])
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_vertex_jaccard_similarity(spark):
+    """sim(a,b) = |N(a) n N(b)| / |N(a) u N(b)| vs a brute-force
+    python oracle on the karate club."""
+    from graftlink.metrics import vertex_jaccard_similarity
+
+    pairs = karate_edges()
+    e = edges_df(spark, pairs)
+    got = {(r.a, r.b): r.similarity
+           for r in vertex_jaccard_similarity(e, min_common=1).collect()}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for (a, b), s in got.items():
+        inter = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a] | nbrs[b])
+        assert inter >= 1
+        assert s == pytest.approx(inter / union, abs=1e-8), (a, b)
+    # completeness: every pair sharing a neighbor is present
+    want_pairs = {
+        (min(a, b), max(a, b))
+        for a in nbrs for b in nbrs
+        if a < b and nbrs[a] & nbrs[b]
+    }
+    assert set(got) == want_pairs
+
+
+def test_bfs_distances_vs_networkx(spark):
+    from graftlink.paths import bfs_distances
+
+    pairs = er_edges(40, 0.08, 21)
+    e = edges_df(spark, pairs)
+    got = {r.id: r.dist
+           for r in bfs_distances(e, source=pairs[0][0], directed=True).collect()}
+    g = nx.DiGraph(pairs)
+    want = nx.single_source_shortest_path_length(g, pairs[0][0])
+    assert got == want
+    # undirected view
+    got_u = {r.id: r.dist
+             for r in bfs_distances(e, source=pairs[0][0], directed=False).collect()}
+    want_u = nx.single_source_shortest_path_length(g.to_undirected(), pairs[0][0])
+    assert got_u == want_u
