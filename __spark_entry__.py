@@ -393,9 +393,12 @@ def _q_doc_fingerprints(spark, sf_dir):
 
 
 def _q_minhash_signatures(spark, sf_dir):
-    from graftlink.dedup import minhash_signatures
+    from graftlink.dedup import minhash_signatures, sig_fold
 
-    return minhash_signatures(read_documents(spark, sf_dir)).select("id", "sig")
+    sigs = minhash_signatures(read_documents(spark, sf_dir))
+    # the driver canonicalizer sorts scalar cells; emit the signature
+    # as one folded int64 instead of an array<long> column
+    return sigs.select("id", sig_fold(F.col("sig")).alias("sig_fold"))
 
 
 def _q_lsh_candidate_pairs(spark, sf_dir):
@@ -677,7 +680,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _textops.quality_scores_sql(),
         "lang_id": _textops.lang_id_sql(),
         "doc_fingerprints": _textops.fingerprints_sql(),
-        "minhash_signatures": _dedup.minhash_signatures_sql(),
+        "minhash_signatures": (
+            f"SELECT id, {_dedup.sig_fold_sql('sig')} AS sig_fold "
+            f"FROM ({_dedup.minhash_signatures_sql()})"
+        ),
         "lsh_candidate_pairs": _dedup.lsh_candidate_pairs_sql(),
         "near_dup_minhash": _dedup.near_dup_minhash_sql(threshold=0.5),
         "simhash_fingerprints": (
@@ -690,8 +696,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _similarity.ann_lsh_topk_sql(_ANN_QUERY_IDS, k=5, dim=64),
         "embedding_near_dups": _similarity.embedding_near_dups_sql(threshold=0.45),
         "media_stats": _multimodal.media_stats_sql(),
+        # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas converts to
+        # float64 — the driver canonicalizer then sees 19525.0 vs 19525
         "lang_stats": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,

@@ -142,6 +142,23 @@ class CheckpointManager:
             return out, stats_row
         return out
 
+    def release(self) -> None:
+        """Drop the last iteration's persisted state. Call after the
+        algorithm's loop, AFTER detaching the final result (e.g. via
+        localCheckpoint) — otherwise repeated algorithm calls in one
+        session accumulate cached partitions in executor memory."""
+        if self._prev_cached is not None:
+            self._prev_cached.unpersist()
+            self._prev_cached = None
+
+    def finalize(self, df: DataFrame) -> DataFrame:
+        """Detach a final-result DF from the loop's cached lineage
+        (one eager localCheckpoint — fine once, quadratic if chained
+        per-iteration) and release the loop's persisted state."""
+        out = df.localCheckpoint(eager=True)
+        self.release()
+        return out
+
     def latest(self) -> tuple[int, dict] | None:
         """Highest valid (=_SUCCESS + _lineage.json, matching
         fingerprint) iteration, or None."""

@@ -170,8 +170,9 @@ def _cc_minlabel(
         state = new_state.select("id", "label")
         if changed == 0:
             break
+    result = mgr.finalize(state.select("id", "label"))
     adj.unpersist()
-    return state.select("id", "label")
+    return result
 
 
 def connected_components(

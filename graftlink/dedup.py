@@ -87,6 +87,24 @@ def minhash_signatures(
     ).withColumn("sig", minhash_signature(F.col("shingles"), k=k))
 
 
+def sig_fold(sig) -> F.Column:
+    """Fold an array<long> MinHash signature into ONE canonical int64
+    (polynomial fold, same arithmetic as texthash.poly_hash). The
+    driver's result canonicalizer sorts/hashes scalar cells and cannot
+    order array columns, so the driver-facing signature query emits
+    this fold; the DuckDB twin computes the identical fold."""
+    return F.aggregate(
+        sig, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % PRIME
+    )
+
+
+def sig_fold_sql(sig_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {sig_expr}), "
+        f"(acc, v) -> (acc*31 + v) % {PRIME})"
+    )
+
+
 def _band_hash(sig, band: int, rows: int):
     """Combine one band's signature rows into a single int64 bucket key."""
     h = F.lit(0).cast("long")
@@ -180,6 +198,13 @@ def simhash_near_dups(fps: DataFrame, radius: int = SIMHASH_RADIUS) -> DataFrame
     over 3 bands), matching the oracle's O(n^2) scan while shuffling
     only bucket-local pairs.
     """
+    if radius > SIMHASH_RADIUS:
+        raise ValueError(
+            f"banded simhash near-dup is exact only for radius <= "
+            f"{SIMHASH_RADIUS} ({SIMHASH_BANDS} bands, pigeonhole); "
+            f"got radius={radius} — raise SIMHASH_BANDS to radius+1 "
+            f"bands to widen the guarantee"
+        )
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
     chunks = F.array(

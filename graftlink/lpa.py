@@ -109,10 +109,10 @@ def label_propagation(
         iterations = it + 1
         if changed == 0:
             break
+    labels = mgr.finalize(state.select("id", "label"))
     adj.unpersist()
     if stats is not None:
         stats["iterations"] = iterations
-    labels = state.select("id", "label")
     if renumber:
         # community key = min member id, then dense 0..k-1
         min_member = labels.groupBy("label").agg(F.min("id").alias("_mm"))

@@ -149,9 +149,11 @@ def media_stats_sql(table: str = "documents", text_col: str = "text",
                     id_col: str = "doc_id") -> str:
     """DuckDB twin over the same deterministic synth rule."""
     kind = f"['image','audio','video'][CAST({id_col} % 3 + 1 AS INT)]"
+    # CAST: DuckDB sum(BIGINT) returns HUGEINT -> float64 in pandas,
+    # which the driver canonicalizer sees as 50917.0 vs Spark's 50917
     return f"""
         SELECT {kind} AS kind, count(*) AS n_items,
-               sum(octet_length(encode({text_col}))) AS total_bytes,
+               CAST(sum(octet_length(encode({text_col}))) AS BIGINT) AS total_bytes,
                round(avg(octet_length(encode({text_col}))), 4) AS avg_bytes
         FROM {table} GROUP BY 1
     """

@@ -180,6 +180,9 @@ def pagerank(
              "edges_processed": int(m) * max(iterations - start_it, 0),
              "iter_walls": iter_walls}
         )
+    # materialize the final state BEFORE dropping the caches it was
+    # computed from, then release the loop's persisted state (leak fix)
+    result = mgr.finalize(state.select("id", "rank"))
     adj.unpersist()
     base.unpersist()
-    return state.select("id", "rank")
+    return result

@@ -60,5 +60,6 @@ def bfs_distances(
         if not row["new_count"]:
             break
         frontier = visited.where(F.col("dist") == depth)
+    result = mgr.finalize(visited.select("id", "dist"))
     adj.unpersist()
-    return visited.select("id", "dist")
+    return result

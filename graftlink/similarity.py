@@ -133,21 +133,35 @@ def cosine_topk_arrow(
             if b.num_rows == 0:
                 continue
             ids = b.column("_id").to_numpy(zero_copy_only=False)
-            emb = np.array(b.column("_emb").to_pylist(), dtype=np.float64)
+            # zero-copy Arrow list -> numpy matrix: flatten the child
+            # values buffer and reshape (fixed dim per contract) — the
+            # round-1 to_pylist() here was the one Python-side
+            # materialization in an otherwise columnar kernel
+            embcol = b.column("_emb")
+            flat = embcol.flatten().to_numpy(zero_copy_only=False)
+            emb = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, -1)
             norms = np.linalg.norm(emb, axis=1)
             norms[norms == 0] = 1.0
-            cos = (emb @ qmat.T) / norms[:, None] / qnorm[None, :]
+            # round BEFORE pruning: the global tie-break orders by the
+            # ROUNDED cos, so batch-local pruning must keep every row
+            # tied with the boundary value or results would depend on
+            # partitioning (advisor finding r1)
+            cos = np.round((emb @ qmat.T) / norms[:, None] / qnorm[None, :], 6)
             n_keep = min(k + 1, len(ids))
             out_q, out_n, out_c = [], [], []
             for qi in range(len(qids)):
                 col = cos[:, qi]
-                idx = np.argpartition(-col, n_keep - 1)[:n_keep] if len(col) > n_keep else np.arange(len(col))
+                if len(col) > n_keep:
+                    thresh = np.partition(-col, n_keep - 1)[n_keep - 1]
+                    idx = np.nonzero(col >= -thresh)[0]
+                else:
+                    idx = np.arange(len(col))
                 for i in idx:
                     if ids[i] != qids[qi]:
                         out_q.append(qids[qi]); out_n.append(ids[i]); out_c.append(col[i])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
-                 pa.array(np.round(np.array(out_c, dtype=np.float64), 6), pa.float64())],
+                 pa.array(np.array(out_c, dtype=np.float64), pa.float64())],
                 ["query_id", "neighbor_id", "cos"],
             )
 

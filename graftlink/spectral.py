@@ -109,6 +109,7 @@ def hits(
         h_norm = nh
         if abs(cos_delta) < tol:
             break
+    state = mgr.finalize(state)
     fwd.unpersist()
     rev.unpersist()
     out = state.withColumn("hub", F.col("hub") / F.lit(h_norm))
@@ -156,6 +157,7 @@ def eigenvector_centrality(
         x_norm = nx_
         if abs(cos_delta) < tol:
             break
+    state = mgr.finalize(state)
     adj.unpersist()
     out = state.withColumn("x", F.col("x") / F.lit(x_norm))
     return _max_normalize(out, "x").select("id", F.col("x").alias("centrality"))

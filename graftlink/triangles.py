@@ -54,7 +54,13 @@ def _oriented(edges: DataFrame) -> DataFrame:
 def _closed_triangles(edges: DataFrame) -> DataFrame:
     """DF[u, v, w]: each triangle exactly once (u = pivot, v < w in
     orientation order)."""
-    o = _oriented(edges).persist()
+    # localCheckpoint, NOT persist: the oriented edge set is read three
+    # times below (two wedge sides + the closing join); persist() would
+    # stay registered in the cache manager until an explicit unpersist
+    # nobody can issue on a lazily-returned DF (round-1 leak), while a
+    # localCheckpoint's blocks are dropped by the ContextCleaner as soon
+    # as the result DF is garbage-collected.
+    o = _oriented(edges).localCheckpoint(eager=True)
     a = o.select(F.col("lo").alias("u"), F.col("hi").alias("x"))
     bdf = o.select(F.col("lo").alias("u"), F.col("hi").alias("y"))
     # unordered out-neighbor pair once per pivot (x < y by id); the

@@ -2,6 +2,13 @@
 oracle_sql() DuckDB compare (row count, schema, order-insensitive
 value hash), like CORRECTNESS_r{N}.json.
 
+Canonicalization deliberately goes through PANDAS on both sides
+(spark .toPandas(), duckdb .df()) because that is what the real
+driver does — it is what surfaces the two failure classes round 1
+missed locally: array columns that pandas sort_values cannot order
+("unhashable type: 'list'") and DuckDB HUGEINT sums arriving as
+float64 (19525.0 vs 19525).
+
 Usage: python tools/driver_check.py [sf_dir] [query ...]
 """
 
@@ -19,20 +26,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def value_hash(rows, colnames) -> str:
-    """Order-insensitive: sort columns by name, format values, sort rows."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+def canon_hash(pdf) -> str:
+    """Order-insensitive hash via the driver's pandas path: sort
+    columns by name, sort rows by all columns (raises on unsortable
+    cells, as the driver does), format floats %.6g."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols).reset_index(drop=True)
     fmt_rows = []
-    for r in rows:
+    for row in pdf.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in row:
             if isinstance(v, float):
                 vals.append(f"{v:.6g}")
             else:
                 vals.append(str(v))
         fmt_rows.append("\x1f".join(vals))
-    fmt_rows.sort()
     return hashlib.sha256("\x1e".join(fmt_rows).encode()).hexdigest()[:16]
 
 
@@ -45,14 +53,15 @@ def main():
 
     spark = get_spark("driver-check", cores=8, shuffle_partitions=8)
 
-    t0 = time.monotonic()
-    flagship = entry_mod.entry(spark)
-    rows = flagship.collect()
-    print(f"entry(): {len(rows)} rows in {time.monotonic()-t0:.1f}s "
-          f"schema={[f.name for f in flagship.schema.fields]}")
-    assert len(rows) >= 0
-    for r in rows[:3]:
-        print("   ", r)
+    if not only:
+        t0 = time.monotonic()
+        flagship = entry_mod.entry(spark)
+        rows = flagship.collect()
+        print(f"entry(): {len(rows)} rows in {time.monotonic()-t0:.1f}s "
+              f"schema={[f.name for f in flagship.schema.fields]}")
+        assert len(rows) >= 0
+        for r in rows[:3]:
+            print("   ", r)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -67,29 +76,43 @@ def main():
         if only and name not in only:
             continue
         t0 = time.monotonic()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as exc:
+            print(f"  {name}: SPARK ERROR {exc}")
+            failures.append(name)
+            continue
         elapsed = time.monotonic() - t0
         if name not in oracles:
-            print(f"  {name}: rows-only {len(srows)} rows ({elapsed:.1f}s)")
+            print(f"  {name}: rows-only {len(spdf)} rows ({elapsed:.1f}s)")
             continue
-        ores = con.execute(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = [tuple(r) for r in ores.fetchall()]
-        ok_count = len(srows) == len(orows)
-        ok_schema = sorted(scols) == sorted(ocols)
-        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
-        ok_hash = sh == oh
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"  {name}: ORACLE ERROR {exc}")
+            failures.append(name)
+            continue
+        ok_count = len(spdf) == len(opdf)
+        ok_schema = sorted(spdf.columns) == sorted(opdf.columns)
+        try:
+            sh, oh = canon_hash(spdf), canon_hash(opdf)
+            ok_hash = sh == oh
+        except Exception as exc:
+            print(f"  {name}: CANON ERROR {exc}")
+            failures.append(name)
+            continue
         status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
-        print(f"  {name}: {status} rows {len(srows)}/{len(orows)} "
-              f"schema {scols}/{ocols} hash {sh}/{oh} ({elapsed:.1f}s)")
+        print(f"  {name}: {status} rows {len(spdf)}/{len(opdf)} "
+              f"schema {list(spdf.columns)}/{list(opdf.columns)} "
+              f"hash {sh}/{oh} ({elapsed:.1f}s)")
         if status == "FAIL":
             failures.append(name)
-            sset, oset = set(srows), set(orows)
-            for x in list(sset - oset)[:3]:
+            srows = {tuple(map(str, r)) for r in spdf.itertuples(index=False)}
+            orows = {tuple(map(str, r)) for r in opdf.itertuples(index=False)}
+            for x in list(srows - orows)[:3]:
                 print("    spark-only:", x)
-            for x in list(oset - sset)[:3]:
+            for x in list(orows - srows)[:3]:
                 print("    oracle-only:", x)
     print("FAILURES:" if failures else "ALL OK", failures or "")
     sys.exit(1 if failures else 0)
