@@ -178,6 +178,15 @@ def main():
     queries["triangles"] = round(time.monotonic() - t0, 2)
     log(f"triangles: {ntri} in {queries['triangles']}s")
 
+    # q5b: coreness via h-index propagation (round-2: replaces the
+    # O(k_max) sequential peel with one superstep loop)
+    from graftlink.kcore import core_numbers
+
+    t0 = time.monotonic()
+    kmax = core_numbers(edges).agg(F.max("core")).collect()[0][0]
+    queries["core_numbers_hindex"] = round(time.monotonic() - t0, 2)
+    log(f"core_numbers: k_max={kmax} {queries['core_numbers_hindex']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -232,6 +241,9 @@ def main():
             f"| local[{CPUS}] |\n"
             f"| LPA 5 supersteps | {queries['lpa_5it']} s | local[{CPUS}] |\n"
             f"| triangle count | {queries['triangles']} s ({ntri:,} triangles) "
+            f"| local[{CPUS}] |\n"
+            f"| coreness (h-index propagation) | "
+            f"{queries['core_numbers_hindex']} s (k_max={kmax}) "
             f"| local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"

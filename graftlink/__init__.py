@@ -24,20 +24,37 @@ algorithms and validated against numpy/networkx oracles).
 
 from graftlink.adjacency import pack_adjacency
 from graftlink.components import connected_components
+from graftlink.kcore import core_numbers, k_core
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
+from graftlink.paths import (
+    betweenness_from_sources,
+    bfs_distances,
+    closeness_from_sources,
+    multi_source_bfs,
+    sssp_weighted,
+)
+from graftlink.scc import strongly_connected_components
 from graftlink.triangles import triangle_count, triangles_per_vertex
 from graftlink.vertices import degrees, encode_vertices
 
 __all__ = [
     "pack_adjacency",
     "connected_components",
+    "strongly_connected_components",
     "label_propagation",
     "pagerank",
     "triangle_count",
     "triangles_per_vertex",
     "encode_vertices",
     "degrees",
+    "core_numbers",
+    "k_core",
+    "bfs_distances",
+    "multi_source_bfs",
+    "sssp_weighted",
+    "closeness_from_sources",
+    "betweenness_from_sources",
 ]
 
 __version__ = "0.1.0"

@@ -83,24 +83,41 @@ def _labels_from_star_edges(e: DataFrame, verts: DataFrame) -> DataFrame:
 
 
 def _cc_star(edges: DataFrame, verts: DataFrame, max_iter: int) -> DataFrame:
+    spark = edges.sparkSession
+    # truncate_every=1: unlike the linear pagerank/lpa superstep, each
+    # star round references its input FOUR times (large-star and
+    # small-star both read their input twice), so plan size grows 4^r
+    # between truncations — truncate every round, as round 1 did
+    mgr = CheckpointManager(None, "cc_star", spark, mode="local", truncate_every=1)
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        if e.isEmpty():
-            break
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged iff the (distinct) edge set is unchanged — the
-        # alternation's fixpoints are exactly the star graphs
-        same_count = new_e.count() == e.count()
-        if same_count and new_e.exceptAll(e).isEmpty():
-            e = new_e
-            break
+    # converged iff the (distinct) edge set is unchanged — the
+    # alternation's fixpoints are exactly the star graphs. Round 1
+    # checked that with count() + exceptAll(), an extra full shuffle of
+    # BOTH edge sets every round; now the check is a (count, xor-of-
+    # edge-hashes) fingerprint computed IN the job that materializes
+    # the round's edge set — equal count + equal 64-bit xor on distinct
+    # sets is an order-of-2^-64 false-positive, far below any real risk.
+    prev_sig = None
+    for it in range(max_iter):
+        new_e = _small_star(_large_star(e))
+        new_e, row = mgr.save(
+            new_e, it, "u", counters={"iteration": it},
+            stats_cols=[
+                F.count("*").alias("c"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("fp"),
+            ],
+        )
+        sig = (row["c"], row["fp"])
         e = new_e
-    return _labels_from_star_edges(e, verts)
+        if sig == prev_sig or row["c"] == 0:
+            break
+        prev_sig = sig
+    labels = mgr.finalize(_labels_from_star_edges(e, verts))
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -57,14 +57,43 @@ SIMHASH_RADIUS = 2  # max hamming distance; exact with 3 bands (pigeonhole)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn=None,
+    verify: str = "fingerprint",
+) -> DataFrame:
     """DF[keeper_id, n_copies] — one row per distinct text, keeper =
-    min id. groupBy(text) shuffles full text; at 100 TB group on
-    xxhash64(text) instead and keep text only for in-group verify —
-    same result when no 64-bit collision, which the verify detects."""
+    min id.
+
+    The 100 TB plan (default): shuffle (xxhash64, md5-fingerprint, id)
+    — ~40 bytes/row — instead of the full text (KBs/row), group on
+    (hash, fingerprint). The md5 is the in-group verify: two DIFFERENT
+    texts colliding on the 64-bit hash still split into separate
+    groups (collision-injection test passes a deliberately weak
+    hash_fn and asserts the result still equals groupBy(text)).
+    Equality beyond that rests on 128-bit-fingerprint uniqueness;
+    verify="text" groups on (hash, text) for belt-and-braces exactness
+    at the cost of shuffling the text.
+
+    hash_fn: column -> column override of xxhash64 (testing seam).
+    """
+    h = (hash_fn or F.xxhash64)(F.col(text_col))
+    if verify == "text":
+        discriminator = F.col(text_col)
+    elif verify == "fingerprint":
+        discriminator = F.md5(F.col(text_col))
+    else:
+        raise ValueError(f"unknown verify mode: {verify}")
     return (
-        df.groupBy(text_col)
-        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        df.select(
+            h.alias("_h"),
+            discriminator.alias("_fp"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("_h", "_fp")
+        .agg(F.min("_id").alias("keeper_id"), F.count("*").alias("n_copies"))
         .select("keeper_id", "n_copies")
     )
 

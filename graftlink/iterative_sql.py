@@ -1,0 +1,532 @@
+"""DuckDB oracle twins for the ITERATIVE graph algorithms.
+
+Round 1 shipped the four mandated algorithms (and friends) rows-only
+in the driver: their value gate lived exclusively in pytest, so
+CORRECTNESS_r01.json could not distinguish them from unverified
+output. DuckDB (>= 1.0) allows aggregates, window functions and
+multiple self-references inside recursive CTEs, which is enough to
+express a *bounded-round* superstep loop in pure SQL:
+
+    state(round, id, value) =
+        base: round 0 for every vertex
+        step: round+1 computed from a join/agg over round's rows
+              (the working table holds exactly the previous round)
+        bound: WHERE round < N  -- UNION ALL never dedups, the
+              round counter makes termination explicit
+
+Determinism contract per algorithm (the Spark query is pinned to the
+same semantics in __spark_entry__.py):
+
+- pagerank family: FIXED iteration count (tol=0.0), identical update
+  expression ((1-d)/n + d*(pull + dangling/n)), float results rounded
+  to 6 decimals in both engines (cross-engine fp noise is ~1e-13,
+  six orders below the rounding quantum).
+- hits / eigenvector: fixed iterations; SQL runs the RAW power
+  iteration (no per-round normalization) — the update is linear, so
+  after the final max-normalization the per-round scaling Spark
+  applies cancels exactly.
+- lpa: fixed round bound == Spark max_iter; Spark may stop early at
+  the fixed point, where extra SQL rounds are identity.
+- components / bfs: integer min-propagation — UNION-dedup recursion
+  to the natural fixpoint, exact.
+- core numbers: h-index propagation (Montresor/De Pellegrini/
+  Miorandi 2011) from h=degree; both engines iterate the same
+  operator to its unique fixpoint (= coreness), so any bound >= the
+  convergence round matches Spark's run-to-convergence.
+"""
+
+from __future__ import annotations
+
+PR_DAMPING = 0.85
+PR_ITERS = 20
+HITS_ITERS = 12
+EIGEN_ITERS = 16
+LPA_ITERS = 20
+CORE_ROUNDS = 64
+BFS_MAX_DEPTH = 100
+
+
+def _prelude(clean: str) -> str:
+    """Shared CTE prefix: cleaned edges + vertex universe."""
+    return f"""
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        )
+    """
+
+
+# ---------------------------------------------------------------------------
+# PageRank family
+# ---------------------------------------------------------------------------
+
+
+def pagerank_sql(
+    clean: str,
+    iters: int = PR_ITERS,
+    d: float = PR_DAMPING,
+    top: int = 20,
+    weighted: bool = False,
+) -> str:
+    """Uniform-reset PageRank, dangling mass redistributed uniformly.
+
+    weighted=True mirrors the driver query's deterministic arithmetic
+    weights (src%7 + dst%3 + 1) with per-src normalization done
+    edge-wise (w / wsum) exactly like pack_adjacency's wnorm.
+    """
+    if weighted:
+        w = "(e.src % 7 + e.dst % 3 + 1)"
+        contrib = f"sum(st.rank * (CAST({w} AS DOUBLE) / ws.wsum))"
+        wsum = f"""
+        wsum AS (
+            SELECT src, sum(CAST((src % 7 + dst % 3 + 1) AS DOUBLE)) AS wsum
+            FROM clean GROUP BY src
+        ),"""
+        wjoin = "JOIN wsum ws ON ws.src = st.id"
+    else:
+        contrib = "sum(st.rank / od.od)"
+        wsum = ""
+        wjoin = "JOIN outdeg od ON od.src = st.id"
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        nv AS (SELECT count(*) AS n FROM verts),
+        outdeg AS (SELECT src, count(*) AS od FROM clean GROUP BY src),{wsum}
+        state(round, id, rank) AS (
+            SELECT 0, id, 1.0 / (SELECT n FROM nv) FROM verts
+            UNION ALL
+            SELECT r.round + 1, r.id,
+                   (1.0 - {d}) / (SELECT n FROM nv)
+                   + {d} * (coalesce(pl.pull, 0.0) + dgl.dm / (SELECT n FROM nv))
+            FROM state r
+            LEFT JOIN (
+                SELECT e.dst AS id, {contrib} AS pull
+                FROM state st
+                {wjoin}
+                JOIN clean e ON e.src = st.id
+                GROUP BY e.dst
+            ) pl ON pl.id = r.id
+            CROSS JOIN (
+                SELECT coalesce(sum(st.rank) FILTER (WHERE od.src IS NULL), 0.0) AS dm
+                FROM state st LEFT JOIN outdeg od ON od.src = st.id
+            ) dgl
+            WHERE r.round < {iters}
+        )
+        SELECT id, round(rank, 6) AS rank FROM state WHERE round = {iters}
+        ORDER BY rank DESC, id ASC LIMIT {top}
+    """
+
+
+def pagerank_personalized_sql(
+    clean: str,
+    seed_mod: int = 50,
+    iters: int = PR_ITERS,
+    d: float = PR_DAMPING,
+    top: int = 20,
+) -> str:
+    """Personalized PageRank seeded at id % seed_mod == 0 with uniform
+    seed weights; dangling mass redistributed by the reset vector
+    (networkx convention, matching graftlink.pagerank)."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        pvec AS (
+            SELECT id,
+                   CASE WHEN id % {seed_mod} = 0
+                        THEN 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM verts
+                                    WHERE id % {seed_mod} = 0)
+                        ELSE 0.0 END AS p
+            FROM verts
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM clean GROUP BY src),
+        state(round, id, rank) AS (
+            SELECT 0, id, p FROM pvec
+            UNION ALL
+            SELECT r.round + 1, r.id,
+                   (1.0 - {d}) * pv.p
+                   + {d} * (coalesce(pl.pull, 0.0) + dgl.dm * pv.p)
+            FROM state r
+            JOIN pvec pv ON pv.id = r.id
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(st.rank / od.od) AS pull
+                FROM state st
+                JOIN outdeg od ON od.src = st.id
+                JOIN clean e ON e.src = st.id
+                GROUP BY e.dst
+            ) pl ON pl.id = r.id
+            CROSS JOIN (
+                SELECT coalesce(sum(st.rank) FILTER (WHERE od.src IS NULL), 0.0) AS dm
+                FROM state st LEFT JOIN outdeg od ON od.src = st.id
+            ) dgl
+            WHERE r.round < {iters}
+        )
+        SELECT id, round(rank, 6) AS rank FROM state WHERE round = {iters}
+        ORDER BY rank DESC, id ASC LIMIT {top}
+    """
+
+
+# ---------------------------------------------------------------------------
+# HITS / eigenvector (raw power iteration, max-normalized at the end)
+# ---------------------------------------------------------------------------
+
+
+def hits_sql(clean: str, iters: int = HITS_ITERS, top: int = 20) -> str:
+    """hub_t = A A^T hub_{t-1} (raw); final hub = hub_N / max,
+    authority = A^T hub_{N-1} / max — identical directions to the
+    per-round-normalized Spark loop because the map is linear."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        hub(round, id, h) AS (
+            -- CAST: an undecorated 1.0 types the recursion DECIMAL(2,1)
+            SELECT 0, id, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT r.round + 1, r.id, coalesce(hb.v, 0.0)
+            FROM hub r
+            LEFT JOIN (
+                SELECT e2.src AS id, sum(a.av) AS v
+                FROM (
+                    SELECT e.dst AS vid, sum(st.h) AS av
+                    FROM hub st JOIN clean e ON e.src = st.id
+                    GROUP BY e.dst
+                ) a
+                JOIN clean e2 ON e2.dst = a.vid
+                GROUP BY e2.src
+            ) hb ON hb.id = r.id
+            WHERE r.round < {iters}
+        ),
+        hubN AS (SELECT id, h FROM hub WHERE round = {iters}),
+        auth AS (
+            SELECT v.id, coalesce(s.a, 0.0) AS a
+            FROM verts v
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(st.h) AS a
+                FROM (SELECT id, h FROM hub WHERE round = {iters - 1}) st
+                JOIN clean e ON e.src = st.id
+                GROUP BY e.dst
+            ) s ON s.id = v.id
+        )
+        SELECT hn.id,
+               round(hn.h / (SELECT max(h) FROM hubN), 6) AS hub,
+               round(au.a / (SELECT max(a) FROM auth), 6) AS authority
+        FROM hubN hn JOIN auth au ON au.id = hn.id
+        ORDER BY authority DESC, hn.id ASC LIMIT {top}
+    """
+
+
+def eigenvector_sql(clean: str, iters: int = EIGEN_ITERS, top: int = 20) -> str:
+    """Leading eigenvector of (A + A^T) — pack_adjacency(undirected)
+    keeps one neighbor entry per directed edge, so a reciprocal pair
+    contributes weight 2; the nbrs UNION ALL mirrors that multiset."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        nb AS (
+            SELECT src AS u, dst AS v FROM clean
+            UNION ALL SELECT dst, src FROM clean
+        ),
+        x(round, id, xv) AS (
+            SELECT 0, id, CAST(1.0 AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT r.round + 1, r.id, coalesce(p.v, 0.0)
+            FROM x r
+            LEFT JOIN (
+                SELECT n.v AS id, sum(st.xv) AS v
+                FROM x st JOIN nb n ON n.u = st.id
+                GROUP BY n.v
+            ) p ON p.id = r.id
+            WHERE r.round < {iters}
+        ),
+        xN AS (SELECT id, xv FROM x WHERE round = {iters})
+        SELECT id, round(xv / (SELECT max(xv) FROM xN), 6) AS centrality
+        FROM xN
+        ORDER BY centrality DESC, id ASC LIMIT {top}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Connected components / BFS (exact integer fixpoints)
+# ---------------------------------------------------------------------------
+
+
+def components_sql(clean: str) -> str:
+    """Min-reachable-id labels via UNION-dedup transitive closure,
+    renumbered dense 0..k-1 by ascending label (= igraph scan order,
+    = graftlink.components._renumber)."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        nb AS (
+            SELECT src AS u, dst AS v FROM clean
+            UNION SELECT dst, src FROM clean
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT n.v, rc.r FROM reach rc JOIN nb n ON n.u = rc.id
+        ),
+        lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS component
+        FROM lab
+    """
+
+
+def scc_sql(clean: str) -> str:
+    """Strong components, algorithm-independent: label(v) =
+    min{u : v ->* u AND u ->* v} over the directed transitive closure,
+    renumbered dense by ascending label — the semantic spec the
+    trim+color+backward Spark algorithm must reproduce."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        reach(a, b) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN clean e ON e.src = r.b
+        ),
+        scc AS (
+            SELECT f.a AS id, min(f.b) AS label
+            FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a
+            GROUP BY f.a
+        )
+        SELECT id, dense_rank() OVER (ORDER BY label) - 1 AS component
+        FROM scc
+    """
+
+
+def component_sizes_sql(clean: str) -> str:
+    return f"""
+        SELECT component, count(*) AS size
+        FROM ({components_sql(clean)}) GROUP BY component
+    """
+
+
+def bfs_sql(clean: str, source: int = 0, max_depth: int = BFS_MAX_DEPTH) -> str:
+    """Directed single-source hop distances; (id, dist) pairs dedup via
+    UNION, min(dist) per id at the end. The depth bound only cuts
+    cycle-walks longer than any shortest path."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        d(id, dist) AS (
+            SELECT CAST({source} AS BIGINT), 0
+            UNION
+            SELECT e.dst, dd.dist + 1
+            FROM d dd JOIN clean e ON e.src = dd.id
+            WHERE dd.dist < {max_depth}
+        )
+        SELECT id, min(dist) AS dist FROM d GROUP BY id
+    """
+
+
+def multi_source_bfs_sql(
+    clean: str, sources: list[int], max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Batched BFS: (source, id, dist) pairs, min(dist) at the end."""
+    base = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT), CAST({s} AS BIGINT), 0" for s in sources
+    )
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        d(source, id, dist) AS (
+            {base}
+            UNION
+            SELECT dd.source, e.dst, dd.dist + 1
+            FROM d dd JOIN clean e ON e.src = dd.id
+            WHERE dd.dist < {max_depth}
+        )
+        SELECT source, id, min(dist) AS dist FROM d GROUP BY source, id
+    """
+
+
+def closeness_sql(clean: str, sources: list[int]) -> str:
+    """(reached-1)/sum(dist) per source over the batched BFS."""
+    return f"""
+        WITH msb AS ({multi_source_bfs_sql(clean, sources)})
+        SELECT source AS id,
+               round(CASE WHEN sum(dist) > 0
+                     THEN (count(*) - 1) / CAST(sum(dist) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS closeness
+        FROM msb GROUP BY source
+    """
+
+
+def sssp_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
+    """Weighted SSSP with the driver's deterministic arithmetic weights
+    (src%7 + dst%3 + 1). Integer-valued doubles dedup exactly in the
+    UNION; max_cost only cuts walks longer than any shortest path."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        d(id, dist) AS (
+            SELECT CAST({source} AS BIGINT), CAST(0.0 AS DOUBLE)
+            UNION
+            SELECT e.dst, dd.dist + CAST(e.src % 7 + e.dst % 3 + 1 AS DOUBLE)
+            FROM d dd JOIN clean e ON e.src = dd.id
+            WHERE dd.dist < {max_cost}
+        )
+        SELECT id, min(dist) AS dist FROM d GROUP BY id
+    """
+
+
+def _brandes_source_ctes(i: int, s: int, max_depth: int) -> str:
+    """dist/sigma/backward CTE block for one Brandes source."""
+    return f"""
+        raw{i}(id, dist) AS (
+            SELECT CAST({s} AS BIGINT), 0
+            UNION
+            SELECT e.dst, r.dist + 1 FROM raw{i} r JOIN clean e ON e.src = r.id
+            WHERE r.dist < {max_depth}
+        ),
+        dist{i} AS (SELECT id, min(dist) AS dist FROM raw{i} GROUP BY id),
+        sigma{i}(round, id, sigma) AS (
+            SELECT 0, CAST({s} AS BIGINT), CAST(1.0 AS DOUBLE)
+            UNION ALL
+            SELECT st.round + 1, e.dst, sum(st.sigma)
+            FROM sigma{i} st
+            JOIN clean e ON e.src = st.id
+            JOIN dist{i} dv ON dv.id = e.dst AND dv.dist = st.round + 1
+            WHERE st.round < (SELECT max(dist) FROM dist{i})
+            GROUP BY st.round, e.dst
+        ),
+        sfin{i} AS (SELECT id, sigma FROM sigma{i}),
+        back{i}(round, id, delta) AS (
+            SELECT 0, id, CAST(0.0 AS DOUBLE) FROM dist{i}
+            WHERE dist = (SELECT max(dist) FROM dist{i})
+            UNION ALL
+            SELECT b0.round + 1, lv.id, sgv.sigma * coalesce(ct.acc, 0.0)
+            FROM (SELECT DISTINCT round FROM back{i}) b0
+            JOIN dist{i} lv
+              ON lv.dist = (SELECT max(dist) FROM dist{i}) - b0.round - 1
+            JOIN sfin{i} sgv ON sgv.id = lv.id
+            LEFT JOIN (
+                SELECT e.src AS id, sum((1.0 + bw.delta) / sg.sigma) AS acc
+                FROM back{i} bw
+                JOIN sfin{i} sg ON sg.id = bw.id
+                JOIN clean e ON e.dst = bw.id
+                GROUP BY e.src
+            ) ct ON ct.id = lv.id
+            WHERE b0.round < (SELECT max(dist) FROM dist{i}) - 1
+        )"""
+
+
+def betweenness_sql(
+    clean: str, sources: list[int], max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Brandes dependency accumulation, one unrolled CTE block per
+    source; delta = sigma_v * sum((1+delta_w)/sigma_w) matches the
+    Spark association exactly."""
+    blocks = ",".join(
+        _brandes_source_ctes(i, s, max_depth) for i, s in enumerate(sources)
+    )
+    all_d = " UNION ALL ".join(
+        f"SELECT id, delta FROM back{i} WHERE id <> {s}"
+        for i, s in enumerate(sources)
+    )
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        {blocks},
+        alld AS ({all_d})
+        SELECT v.id, round(coalesce(s.b, 0.0), 6) AS betweenness
+        FROM verts v
+        LEFT JOIN (SELECT id, sum(delta) AS b FROM alld GROUP BY id) s
+          ON s.id = v.id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Coreness (h-index propagation) / k-core
+# ---------------------------------------------------------------------------
+
+
+def core_numbers_sql(clean: str, rounds: int = CORE_ROUNDS) -> str:
+    """h(v) <- H({h(u) : u in N(v)}) from h = degree converges to the
+    core number (Montresor et al. 2011); H computed as
+    max_i min(i, h_i) over neighbors sorted descending."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT u AS id, count(*) AS d FROM nb GROUP BY u),
+        h(round, id, hv) AS (
+            SELECT 0, id, d FROM deg
+            UNION ALL
+            SELECT r.round + 1, r.id, coalesce(hx.hh, 0)
+            FROM h r
+            LEFT JOIN (
+                SELECT id, max(least(rn, nh)) AS hh FROM (
+                    SELECT n.u AS id, st.hv AS nh,
+                           row_number() OVER (
+                               PARTITION BY n.u ORDER BY st.hv DESC
+                           ) AS rn
+                    FROM h st JOIN nb n ON n.v = st.id
+                )
+                GROUP BY id
+            ) hx ON hx.id = r.id
+            WHERE r.round < {rounds}
+        )
+        SELECT v.id, coalesce(hh.hv, 0) AS core
+        FROM verts v
+        LEFT JOIN (SELECT id, hv FROM h WHERE round = {rounds}) hh
+          ON hh.id = v.id
+    """
+
+
+def k_core_sql(clean: str, k: int, rounds: int = CORE_ROUNDS) -> str:
+    """k-core membership == core number >= k."""
+    return f"SELECT id FROM ({core_numbers_sql(clean, rounds)}) WHERE core >= {k}"
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def lpa_sql(clean: str, iters: int = LPA_ITERS) -> str:
+    """Deterministic synchronous LPA (graftlink.lpa spec): votes =
+    neighbor labels over the UNION ALL multiset (reciprocal directed
+    edges vote twice) + own label once; winner = max count, ties ->
+    min label; communities renumbered by ascending min member id."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        nb AS (
+            SELECT src AS u, dst AS v FROM clean
+            UNION ALL SELECT dst, src FROM clean
+        ),
+        lab(round, id, label) AS (
+            SELECT 0, id, id FROM verts
+            UNION ALL
+            SELECT r.round + 1, r.id, w.new_label
+            FROM lab r
+            JOIN (
+                SELECT id, label AS new_label FROM (
+                    SELECT id, label,
+                           row_number() OVER (
+                               PARTITION BY id ORDER BY cnt DESC, label ASC
+                           ) AS rn
+                    FROM (
+                        SELECT votes.id, votes.label, count(*) AS cnt FROM (
+                            SELECT n.v AS id, st.label
+                            FROM lab st JOIN nb n ON n.u = st.id
+                            UNION ALL
+                            SELECT st2.id, st2.label FROM lab st2
+                        ) votes GROUP BY votes.id, votes.label
+                    )
+                ) WHERE rn = 1
+            ) w ON w.id = r.id
+            WHERE r.round < {iters}
+        ),
+        fin AS (SELECT id, label FROM lab WHERE round = {iters}),
+        mm AS (SELECT label, min(id) AS m FROM fin GROUP BY label)
+        SELECT f.id, dense_rank() OVER (ORDER BY mm.m) - 1 AS community
+        FROM fin f JOIN mm ON mm.label = f.label
+    """

@@ -1,34 +1,39 @@
-"""k-core decomposition — iterative peeling over the undirected
-simple graph.
+"""k-core decomposition.
 
 igraph surface matched: igraph_coreness (igraph@0.10.x
 src/properties/degrees.c [unverified split] — bucket-queue peeling)
 and the `k_core` subgraph extraction python-igraph exposes.
 
-Distributed shape (Quick/Stergiou/Tsourakakis-style iterative
-refinement simplified to deletion rounds):
+Two distributed shapes:
 
-- `k_core(edges, k)`: repeat { drop vertices with remaining degree
-  < k } until a fixpoint. Each round is one degree groupBy + one
-  semi-join filter of the edge set; the edge set only shrinks, and
-  round count is bounded by the longest peeling chain (webgraphs:
-  tens). The shrinking table is localCheckpoint-ed per round (plan
-  truncation, same discipline as components).
-- `core_numbers(edges)`: peel k = 1, 2, ... reusing the previous
-  core's edge set as the start of the next round — total work is
-  sum over k of |edges in (k-1)-core|, fine for the test/bench scale
-  and the documented pattern scales as each peel strictly shrinks
-  its input. (A single-pass h-index propagation variant is the
-  future optimization if k_max is large.)
+- `k_core(edges, k)` — iterative deletion rounds for ONE k: repeat
+  { drop vertices with remaining degree < k } until a fixpoint. Each
+  round is one degree groupBy + two semi-joins; the edge set only
+  shrinks and round count is bounded by the longest peeling chain
+  (webgraphs: tens).
+- `core_numbers(edges)` — h-index propagation (Montresor,
+  De Pellegrini, Miorandi, "Distributed k-core decomposition", 2011):
+  h(v) starts at degree and each superstep sets
+  h(v) <- H({h(u) : u in N(v)}), the h-index of the neighbor
+  estimates. The sequence is monotone non-increasing and its fixpoint
+  is exactly coreness, reached in O(rounds-to-converge) supersteps
+  INDEPENDENT of k_max — round 1 peeled k = 1..k_max sequentially
+  (thousands of driver-synchronous jobs on a web graph); this runs
+  the same superstep loop as pagerank/lpa over the packed adjacency.
 
-Not ANSI-SQL-expressible (iterative) -> rows-only driver check;
-pytest gates values against networkx.core_number.
+Value gates: pytest vs networkx.core_number (exact) and the driver's
+recursive-CTE DuckDB twin (graftlink/iterative_sql.py), which
+iterates the same operator to the same fixpoint.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graftlink.adjacency import pack_adjacency
+from graftlink.checkpoint import CheckpointManager
 
 
 def _und_edges(edges: DataFrame) -> DataFrame:
@@ -75,30 +80,66 @@ def k_core(edges: DataFrame, k: int) -> DataFrame:
     )
 
 
-def core_numbers(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
-    """DF[id, core] — the largest k such that id is in the k-core.
+def core_numbers(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    buckets: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """DF[id, core] — the largest k such that id is in the k-core,
+    via h-index propagation (one superstep loop, see module doc).
     Isolated vertices (only in `vertices`) get core 0."""
     from graftlink.vertices import vertex_universe
 
     spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id")
-    result = verts.select("id", F.lit(0).cast("long").alias("core"))
-    e = _und_edges(edges)
-    k = 1
-    while True:
-        e = _peel(e, k)
-        if e.isEmpty():
+    und = _und_edges(edges)
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    mgr = CheckpointManager(None, "coreness", spark, mode="local", buckets=b)
+
+    # out_deg of the symmetric pack IS the simple-graph degree; taking
+    # it from adj avoids a second degree scan (salt-split hub rows all
+    # carry the full degree, hence the distinct)
+    deg = adj.select(F.col("src").alias("id"), F.col("out_deg").alias("h")).distinct()
+    state = (
+        verts.join(deg, "id", "left")
+        .select("id", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+        .repartition(b, "id")
+    )
+
+    w = Window.partitionBy("dst").orderBy(F.col("h").desc())
+    for it in range(max_rounds):
+        joined = adj.select("src", "neighbors").join(
+            state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
+        ).select("neighbors", "h")
+        msgs = joined.select(F.explode("neighbors").alias("dst"), "h")
+        # h-index of the neighbor estimates: sort desc within dst,
+        # H = max_i min(i, h_i)
+        hh = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("h"))).alias("new_h"))
+        )
+        new_state = state.join(
+            hh.hint("shuffle_hash"), state["id"] == hh["dst"], "left"
+        ).select(
+            "id",
+            F.coalesce("new_h", F.col("h")).alias("h"),
+            F.col("h").alias("prev_h"),
+        )
+        new_state, row = mgr.save(
+            new_state, it, "id", counters={"iteration": it},
+            stats_cols=[
+                F.sum((F.col("h") != F.col("prev_h")).cast("long")).alias("c")
+            ],
+        )
+        state = new_state.select("id", "h")
+        if not row["c"]:
             break
-        members = (
-            e.select(F.col("a").alias("id"))
-            .unionAll(e.select(F.col("b").alias("id")))
-            .distinct()
-            .withColumn("_k", F.lit(k).cast("long"))
-        )
-        result = (
-            result.join(members, "id", "left")
-            .select("id", F.greatest("core", F.coalesce("_k", F.lit(0))).alias("core"))
-            .localCheckpoint(eager=True)
-        )
-        k += 1
+    result = mgr.finalize(state.select("id", F.col("h").alias("core")))
+    adj.unpersist()
     return result

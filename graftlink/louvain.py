@@ -1,0 +1,250 @@
+"""Louvain-style modularity community detection (round-1 VERDICT
+stretch #10).
+
+igraph surface matched: igraph_community_multilevel (igraph@0.10.x
+src/community/louvain.c, Blondel et al. 2008). The sequential
+algorithm's vertex-by-vertex moves don't distribute, so this is the
+standard synchronous/parallel variant (Que et al. 2015 "Scalable
+Community Detection with the Louvain Algorithm"; Sotera DGA's
+distributed Louvain has the same shape), made DETERMINISTIC:
+
+- move phase: every vertex evaluates its neighbor communities'
+  modularity gain  dQ(c) = k_{i,c} - gamma * k_i * Sigma_tot^{-i}(c)
+  / (2m)  from the same snapshot; best community = max gain, ties ->
+  min community id; a vertex only moves on rounds matching its parity
+  ((id + round) % 2 == 0), which kills the two-vertex swap
+  oscillation synchronous Louvain is prone to without any RNG.
+- coarsen phase: contract communities to super-vertices (edge weights
+  aggregate, intra-community weight becomes a self-loop), then repeat
+  the move phase one level up. Levels are few (web graphs: 3-5);
+  every phase is built-in joins/aggs over (id, community) state.
+
+Determinism: integer ids, same-snapshot synchronous evaluation and
+parity gating -> identical output at any partitioning (pytest gate).
+Quality gate: modularity(louvain) >= modularity(LPA) on the standard
+fixtures, and exact two-clique recovery.
+
+No SQL oracle: the gain argmax + parity + coarsening recursion is far
+outside a readable recursive CTE; driver registration is rows-only
+with the pytest gates above (the declared weaker-check category).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlink.components import _renumber
+
+
+def _und_weighted(edges: DataFrame) -> DataFrame:
+    """DF[a, b, w] — undirected simple weighted edges (parallel edges
+    accumulate weight; direction dropped; self-loops dropped)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def modularity(edges: DataFrame, communities: DataFrame, gamma: float = 1.0) -> float:
+    """Newman modularity of a community assignment DF[id, community]
+    over the undirected simple view of `edges`."""
+    und = _und_weighted(edges)
+    m2 = und.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
+    ca = communities.select(F.col("id").alias("a"), F.col("community").alias("cca"))
+    cb = communities.select(F.col("id").alias("b"), F.col("community").alias("ccb"))
+    internal = (
+        und.join(ca, "a").join(cb, "b")
+        .where(F.col("cca") == F.col("ccb"))
+        .agg(F.sum(F.col("w") * 2))
+        .collect()[0][0]
+        or 0.0
+    )
+    deg = (
+        und.select(F.col("a").alias("id"), "w")
+        .unionAll(und.select(F.col("b").alias("id"), "w"))
+        .groupBy("id")
+        .agg(F.sum("w").alias("k"))
+    )
+    tot = (
+        deg.join(communities, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("kt"))
+        .agg(F.sum(F.col("kt") * F.col("kt")))
+        .collect()[0][0]
+        or 0.0
+    )
+    return internal / m2 - gamma * tot / (m2 * m2)
+
+
+def _move_phase(
+    wedges: DataFrame, gamma: float, max_rounds: int, m2: float
+) -> DataFrame:
+    """One Louvain level over weighted edges DF[a, b, w] (self-loops
+    allowed = coarsened internal weight). Returns DF[id, c].
+
+    Per round: ONE materialization job (persist + changed-count agg
+    via CheckpointManager.save, the engine-standard superstep
+    discipline) — the gain plan is never executed twice."""
+    from graftlink.checkpoint import CheckpointManager
+    sym = wedges.where(F.col("a") != F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionAll(
+        wedges.where(F.col("a") != F.col("b")).select(
+            F.col("b").alias("u"), F.col("a").alias("v"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    selfw = wedges.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), (F.col("w") * 2).alias("sw")
+    )
+    # k_i includes self-loop weight (counts twice, standard convention)
+    deg = (
+        sym.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("k"))
+        .join(selfw, "id", "outer")
+        .select(
+            "id",
+            (F.coalesce("k", F.lit(0.0)) + F.coalesce("sw", F.lit(0.0))).alias("k"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    comm = deg.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    mgr = CheckpointManager(
+        None, "louvain", wedges.sparkSession, mode="local", truncate_every=1
+    )
+
+    quiet = 0
+    for rnd in range(max_rounds):
+        ctot = (
+            comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("ktot"))
+        )
+        # weight from i to each neighbor community
+        kic = (
+            sym.join(comm.withColumnRenamed("id", "v").withColumnRenamed("c", "nc"), "v")
+            .groupBy(F.col("u").alias("id"), "nc")
+            .agg(F.sum("w").alias("kin"))
+        )
+        cur = comm.join(deg, "id")
+        # candidates: neighbor communities + staying put (kin 0 if no
+        # internal neighbor edge)
+        cand = (
+            cur.join(kic, "id", "left")
+            .select(
+                "id", "c", "k",
+                F.coalesce("nc", F.col("c")).alias("nc"),
+                F.coalesce("kin", F.lit(0.0)).alias("kin"),
+            )
+            .unionByName(
+                cur.select(
+                    "id", "c", "k", F.col("c").alias("nc"), F.lit(0.0).alias("kin")
+                )
+            )
+            .groupBy("id", "c", "k", "nc")
+            .agg(F.max("kin").alias("kin"))
+        )
+        scored = cand.join(ctot.withColumnRenamed("c", "nc"), "nc").select(
+            "id", "c", "nc",
+            (
+                F.col("kin")
+                - F.lit(gamma)
+                * F.col("k")
+                * (F.col("ktot") - F.when(F.col("nc") == F.col("c"), F.col("k")).otherwise(F.lit(0.0)))
+                / F.lit(m2)
+            ).alias("gain"),
+        )
+        best = (
+            scored.groupBy("id", "c")
+            .agg(F.max(F.struct(F.col("gain"), (-F.col("nc")).alias("_nn"))).alias("_m"))
+            .select(
+                "id", "c",
+                (-F.col("_m._nn")).alias("best_c"),
+                F.col("_m.gain").alias("best_gain"),
+            )
+        )
+        cur_gain = scored.where(F.col("nc") == F.col("c")).select(
+            "id", F.col("gain").alias("stay_gain")
+        )
+        moved = (
+            best.join(cur_gain, "id")
+            .select(
+                "id",
+                F.when(
+                    ((F.col("id") + F.lit(rnd)) % 2 == 0)
+                    & (F.col("best_gain") > F.col("stay_gain") + F.lit(1e-12)),
+                    F.col("best_c"),
+                )
+                .otherwise(F.col("c"))
+                .alias("new_c"),
+                F.col("c"),
+            )
+        )
+        new_comm, row = mgr.save(
+            moved.select("id", F.col("new_c").alias("c"), F.col("c").alias("prev")),
+            rnd, "id", counters={"round": rnd},
+            stats_cols=[
+                F.sum((F.col("c") != F.col("prev")).cast("long")).alias("changed")
+            ],
+        )
+        comm = new_comm.select("id", "c")
+        if not row["changed"]:
+            quiet += 1
+            if quiet >= 2:  # both parities had a quiet round
+                break
+        else:
+            quiet = 0
+    comm = mgr.finalize(comm)
+    return comm
+
+
+def louvain_communities(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    levels: int = 3,
+    max_rounds: int = 20,
+    renumber: bool = True,
+) -> DataFrame:
+    """edges DF[src,dst] -> DF[id, community] via deterministic
+    parallel Louvain with coarsening."""
+    wedges = _und_weighted(edges).localCheckpoint(eager=True)
+    m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
+
+    # mapping from original id to current super-vertex
+    mapping = None
+    for _ in range(levels):
+        comm = _move_phase(wedges, gamma, max_rounds, m2)
+        n_comm = comm.select("c").distinct().count()
+        n_vert = comm.count()
+        if mapping is None:
+            mapping = comm.select("id", F.col("c").alias("sv"))
+        else:
+            mapping = (
+                mapping.join(comm.withColumnRenamed("id", "sv"), "sv")
+                .select("id", F.col("c").alias("sv"))
+            )
+        mapping = mapping.localCheckpoint(eager=True)
+        if n_comm == n_vert:
+            break
+        # coarsen: communities become vertices, weights aggregate,
+        # internal weight becomes self-loops
+        ca = comm.withColumnRenamed("id", "a").withColumnRenamed("c", "sa")
+        cb = comm.withColumnRenamed("id", "b").withColumnRenamed("c", "sb")
+        wedges = (
+            wedges.join(ca, "a").join(cb, "b")
+            .select(
+                F.least("sa", "sb").alias("a"),
+                F.greatest("sa", "sb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    labels = mapping.select("id", F.col("sv").alias("label"))
+    if renumber:
+        mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
+        labels = labels.join(mm, "label").select("id", F.col("_mm").alias("label"))
+        return _renumber(labels).withColumnRenamed("component", "community")
+    return labels.select("id", F.col("label").alias("community"))

@@ -1,16 +1,37 @@
-"""Single-source BFS distances — the frontier-superstep pattern.
+"""Shortest-path family — frontier supersteps over the edge table.
 
 igraph surface matched: `igraph_distances` / python `Graph.distances`
-unweighted case (igraph@0.10.x src/paths/unweighted.c [unverified
-file]) restricted to one source — the all-pairs form is deliberately
-out of scope (BSP-hostile at web scale; SURVEY.md §2A).
+(igraph@0.10.x src/paths/unweighted.c, dijkstra.c [unverified files])
+restricted to single/multi-source (the all-pairs form is BSP-hostile
+at web scale; SURVEY.md §2A), plus `igraph_closeness` and a
+k-source-batched `igraph_betweenness` estimate (Brandes 2001; the
+sampled variant is Brandes-Pich 2007).
 
-Shape: frontier BFS as iterative semi-join — per level one
-`frontier ⋈ adj` scatter + an anti-join against visited. The visited
-set is the growing state (persist + truncate discipline via
-CheckpointManager); level count = eccentricity of the source (web
-graphs: tens). Not SQL-expressible (iterative) -> rows-only driver
-check; pytest vs networkx shortest_path_length.
+Shapes:
+- `bfs_distances`     — one source, packed-adjacency scatter loop.
+- `multi_source_bfs`  — k sources batched in ONE loop: state is keyed
+                        (source, id), so k BFS waves share every
+                        superstep's join/shuffle instead of running k
+                        sequential jobs. Levels = max eccentricity.
+- `sssp_weighted`     — Bellman-Ford with a delta frontier: only
+                        vertices whose distance improved relax their
+                        out-edges next round; positive weights
+                        converge in <= longest-shortest-path-hops
+                        rounds.
+- `closeness_from_sources` — (reached-1)/sum(dist) per source over
+                        the multi-source BFS (igraph closeness for
+                        the sampled sources, out-direction).
+- `betweenness_from_sources` — Brandes forward sigma pass + backward
+                        dependency accumulation, batched by source;
+                        sources=all vertices gives exact betweenness
+                        (pytest gate), a k-sample gives the standard
+                        estimator at k/n of the cost.
+
+All but betweenness have bounded-round recursive-CTE DuckDB twins
+(iterative_sql.py); betweenness has one too (per-source unrolled
+level recursion) — the delta update is computed as
+sigma_v * sum((1+delta_w)/sigma_w) in BOTH engines so the fp
+association matches.
 """
 
 from __future__ import annotations
@@ -63,3 +84,224 @@ def bfs_distances(
     result = mgr.finalize(visited.select("id", "dist"))
     adj.unpersist()
     return result
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 100,
+    directed: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[source, id, dist] — hop distances from every source in ONE
+    superstep loop (k waves share each round's join + shuffle)."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    mgr = CheckpointManager(None, "msbfs", spark, mode="local", buckets=b)
+
+    visited = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "source long, id long, dist int"
+    ).repartition(b, "id")
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+            .select("source", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        visited, row = mgr.save(
+            visited.unionByName(nxt), depth, "id", counters={"depth": depth},
+            stats_cols=[
+                F.sum((F.col("dist") == depth).cast("long")).alias("new_count")
+            ],
+        )
+        if not row["new_count"]:
+            break
+        frontier = visited.where(F.col("dist") == depth)
+    result = mgr.finalize(visited.select("source", "id", "dist"))
+    return result
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_iter: int = 200,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, dist double] — single-source shortest paths with
+    non-negative edge weights (Bellman-Ford supersteps, delta
+    frontier). Unreachable vertices are absent."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    ).localCheckpoint(eager=True)
+    mgr = CheckpointManager(None, "sssp", spark, mode="local", buckets=b)
+
+    state = spark.createDataFrame([(source, 0.0)], "id long, dist double").repartition(
+        b, "id"
+    )
+    frontier = state
+    for it in range(max_iter):
+        relax = (
+            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        merged = (
+            state.withColumnRenamed("dist", "_old")
+            .join(relax, "id", "full_outer")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("_old", F.lit(float("inf"))),
+                    F.coalesce("nd", F.lit(float("inf"))),
+                ).alias("dist"),
+                F.col("_old"),
+            )
+        )
+        merged, row = mgr.save(
+            merged, it, "id", counters={"iteration": it},
+            stats_cols=[
+                F.sum(
+                    (F.col("_old").isNull() | (F.col("dist") < F.col("_old"))).cast(
+                        "long"
+                    )
+                ).alias("improved")
+            ],
+        )
+        frontier = merged.where(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).select("id", "dist")
+        state = merged.select("id", "dist")
+        if not row["improved"]:
+            break
+    result = mgr.finalize(state)
+    return result
+
+
+def closeness_from_sources(
+    edges: DataFrame,
+    sources: list[int],
+    directed: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, closeness] for each source: (reached-1)/sum(dist) over
+    vertices reachable from it (igraph_closeness OUT mode, unreachable
+    excluded). A k-sample of sources is the standard estimator at
+    k/n of the all-pairs cost."""
+    d = multi_source_bfs(edges, sources, directed=directed, buckets=buckets)
+    return (
+        d.groupBy(F.col("source").alias("id"))
+        .agg(F.count("*").alias("_r"), F.sum("dist").alias("_s"))
+        .select(
+            "id",
+            F.round(
+                F.when(F.col("_s") > 0, (F.col("_r") - 1) / F.col("_s")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("closeness"),
+        )
+    )
+
+
+def betweenness_from_sources(
+    edges: DataFrame,
+    sources: list[int],
+    vertices: DataFrame | None = None,
+    directed: bool = True,
+    max_depth: int = 100,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, betweenness] — Brandes dependency accumulation over the
+    shortest-path DAGs of the given sources (exact betweenness when
+    sources = all vertices; an unbiased k-sample estimator otherwise,
+    Brandes-Pich 2007 without rescaling).
+
+    Batched: ALL sources run in one forward loop (state keyed
+    (source, id)) and one backward loop over levels, so the superstep
+    count is 2 * max-eccentricity regardless of |sources|.
+    """
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    mgr = CheckpointManager(None, "btw", spark, mode="local", buckets=b)
+
+    # ---- forward: (source, id, dist, sigma) level-synchronous ----
+    visited = spark.createDataFrame(
+        [(s, s, 0, 1.0) for s in sources],
+        "source long, id long, dist int, sigma double",
+    ).repartition(b, "id")
+    frontier = visited
+    maxlvl = 0
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", F.lit(depth).cast("int").alias("dist"), "sigma")
+        )
+        visited, row = mgr.save(
+            visited.unionByName(nxt), depth, "id", counters={"depth": depth},
+            stats_cols=[
+                F.sum((F.col("dist") == depth).cast("long")).alias("new_count")
+            ],
+        )
+        if not row["new_count"]:
+            break
+        maxlvl = depth
+        frontier = visited.where(F.col("dist") == depth)
+    visited = mgr.finalize(visited)
+
+    # ---- backward: delta by descending level ----
+    # delta_v = sigma_v * sum_succ (1 + delta_w) / sigma_w — SAME fp
+    # association as the SQL twin
+    deltas = visited.where(F.col("dist") == maxlvl).select(
+        "source", "id", "sigma", F.lit(0.0).alias("delta")
+    )
+    acc = deltas
+    for lvl in range(maxlvl - 1, 0, -1):
+        level_rows = visited.where(F.col("dist") == lvl)
+        contrib = (
+            e.join(
+                acc.select(
+                    "source", F.col("id").alias("dst"),
+                    ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_t"),
+                ),
+                "dst",
+            )
+            .groupBy("source", F.col("src").alias("id"))
+            .agg(F.sum("_t").alias("_acc"))
+        )
+        acc = (
+            level_rows.join(contrib, ["source", "id"], "left")
+            .select(
+                "source", "id", "sigma",
+                (F.col("sigma") * F.coalesce("_acc", F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas = deltas.unionByName(acc).localCheckpoint(eager=True)
+
+    verts = (vertices or vertex_universe(edges)).select("id")
+    bc = deltas.where(F.col("id") != F.col("source")).groupBy("id").agg(
+        F.sum("delta").alias("_bc")
+    )
+    return verts.join(bc, "id", "left").select(
+        "id", F.round(F.coalesce("_bc", F.lit(0.0)), 6).alias("betweenness")
+    )

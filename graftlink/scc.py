@@ -1,0 +1,154 @@
+"""Strongly connected components — the directed-web follow-up to weak
+components (round-1 VERDICT gap #1).
+
+igraph surface matched: igraph_connected_components(..,
+IGRAPH_STRONG) (igraph@0.10.x src/connectivity/components.c, strong
+path — Tarjan there; a depth-first stack does not distribute, so this
+is NOT a port).
+
+Distributed shape: trim + forward-max coloring + backward sweep
+(Orzan 2004 "coloring/heads-off"; Slota, Rajamanickam, Madduri 2014
+"Multistep" use the same phases):
+
+  repeat until no vertices remain:
+    1. TRIM      — vertices with in-degree 0 or out-degree 0 in the
+                   remaining subgraph are singleton SCCs; peel them
+                   iteratively (removes the huge IN/OUT/tendril mass
+                   of a web graph in a few rounds).
+    2. COLOR     — propagate c(v) = max(id(v), max over in-neighbors
+                   c(u)) to a fixpoint; color classes partition the
+                   remaining graph and each class has one root
+                   r with c(r) = r.
+    3. BACKWARD  — within same-color edges, mark vertices that reach
+                   their root; the marked set of each class is
+                   exactly SCC(root). Assign and remove.
+
+  Each phase is the engine's standard superstep loop (join + agg +
+  localCheckpoint truncation); per outer round at least one SCC per
+  color class is retired, and on web graphs the first round's giant
+  color class removes the giant SCC.
+
+Labels: component = SCC's min member id, renumbered dense 0..k-1 by
+ascending min id (same presentation as connected_components). The
+driver oracle is an algorithm-independent transitive-closure twin:
+label(v) = min{u : v ->* u and u ->* v} (iterative_sql.scc_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlink.components import _renumber
+from graftlink.vertices import vertex_universe
+
+
+def _fp(df: DataFrame, *cols) -> tuple:
+    row = df.agg(
+        F.count("*").alias("c"), F.bit_xor(F.xxhash64(*cols)).alias("h")
+    ).collect()[0]
+    return (row["c"], row["h"])
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_outer: int = 50,
+    max_inner: int = 200,
+    renumber: bool = True,
+) -> DataFrame:
+    """edges DF[src,dst] -> DF[id, component] (strong components)."""
+    spark = edges.sparkSession
+    verts = (
+        (vertices or vertex_universe(edges)).select("id").localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = spark.createDataFrame([], "id long, label long")
+
+    for _ in range(max_outer):
+        if verts.isEmpty():
+            break
+        # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) ---
+        for _ in range(max_inner):
+            srcs = e.select(F.col("src").alias("id")).distinct()
+            dsts = e.select(F.col("dst").alias("id")).distinct()
+            keep = (
+                verts.join(srcs, "id", "left_semi")
+                .join(dsts, "id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            trivial = verts.join(keep, "id", "left_anti")
+            if trivial.isEmpty():
+                break
+            assigned = assigned.unionByName(
+                trivial.select("id", F.col("id").alias("label"))
+            ).localCheckpoint(eager=True)
+            verts = keep
+            e = (
+                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        if verts.isEmpty():
+            break
+        # --- 2. forward max-color propagation to fixpoint ---
+        color = verts.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+        prev = None
+        for _ in range(max_inner):
+            msgs = (
+                e.join(color.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("c").alias("mc"))
+            )
+            color = (
+                color.join(msgs, "id", "left")
+                .select("id", F.greatest("c", F.coalesce("mc", F.col("c"))).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            sig = _fp(color, "id", "c")
+            if sig == prev:
+                break
+            prev = sig
+        # --- 3. backward sweep within same-color edges ---
+        ec = (
+            e.join(color.withColumnRenamed("id", "src").withColumnRenamed("c", "cs"), "src")
+            .join(color.withColumnRenamed("id", "dst").withColumnRenamed("c", "cd"), "dst")
+            .where(F.col("cs") == F.col("cd"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        mark = color.where(F.col("c") == F.col("id")).select("id").localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_inner):
+            new_mark = (
+                ec.join(mark.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .join(mark, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new_mark.isEmpty():
+                break
+            mark = mark.unionByName(new_mark).localCheckpoint(eager=True)
+        scc = color.join(mark, "id", "left_semi").select("id", F.col("c").alias("label"))
+        assigned = assigned.unionByName(scc).localCheckpoint(eager=True)
+        verts = verts.join(mark, "id", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(mark.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    # label -> SCC min member id (colors are max-ids; presentation
+    # contract is min-member, ascending dense when renumbered)
+    mm = assigned.groupBy("label").agg(F.min("id").alias("_mm"))
+    labels = assigned.join(mm, "label").select("id", F.col("_mm").alias("label"))
+    if renumber:
+        return _renumber(labels)
+    return labels.select("id", F.col("label").alias("component"))

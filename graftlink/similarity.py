@@ -22,10 +22,11 @@ Three surfaces:
                          twin); recall vs brute force is a pytest
                          gate, not a guarantee.
 
-`embedding_near_dups` (cosine >= threshold pairs) is exact all-pairs
-here — at production scale run it as ann buckets + verify (lossy) or
-block by IVF coarse cells; the all-pairs form is the semantic spec
-the oracle checks.
+`embedding_near_dups` (cosine >= threshold pairs) is EXACT either
+way: method="tiled" (default) distributes the quadratic work as
+bounded-memory block-pair matmuls (the 100 TB layout of an exact
+similarity self-join); method="allpairs" is the column-expression
+cross join kept as the semantic spec the DuckDB oracle mirrors.
 """
 
 from __future__ import annotations
@@ -226,23 +227,101 @@ def ann_lsh_topk(
     )
 
 
+def _near_dup_tile_kernel(threshold: float):
+    """applyInPandas kernel for one block pair: vectorized matmul of
+    the two blocks' matrices, emit (a<b, cos) above threshold."""
+    import pandas as pd
+
+    def _mat(sub):
+        ids = sub["_id"].to_numpy(dtype=np.int64)
+        if len(ids) == 0:
+            return ids, np.zeros((0, 0))
+        m = np.asarray(np.stack(sub["_v"].to_numpy()), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = np.inf  # zero vectors -> cos 0 (matches the expr twin)
+        return ids, m / n[:, None]
+
+    def kernel(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        if gi == gj:
+            ids, m = _mat(pdf)
+            c = np.round(m @ m.T, 6)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = c[iu, ju] >= threshold
+            a, b, cs = ids[iu[keep]], ids[ju[keep]], c[iu, ju][keep]
+        else:
+            ids_l, ml = _mat(pdf[pdf["_g"] == gi])
+            ids_r, mr = _mat(pdf[pdf["_g"] == gj])
+            if len(ids_l) == 0 or len(ids_r) == 0:
+                return pd.DataFrame({"a": [], "b": [], "cos": []})
+            c = np.round(ml @ mr.T, 6)
+            ii, jj = np.nonzero(c >= threshold)
+            a0, b0 = ids_l[ii], ids_r[jj]
+            a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            cs = c[ii, jj]
+        return pd.DataFrame(
+            {"a": a.astype(np.int64), "b": b.astype(np.int64),
+             "cos": cs.astype(np.float64)}
+        )
+
+    return kernel
+
+
 def embedding_near_dups(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    method: str = "tiled", block_rows: int = 4096,
 ) -> DataFrame:
-    """DF[a, b, cos] — all pairs with cosine >= threshold (exact)."""
-    base = with_norm(df, vec_col)
-    l = base.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
-    r = base.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
-    cos = F.when(
-        (F.col("_na") > 0) & (F.col("_nb") > 0),
-        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
-    ).otherwise(F.lit(0.0))
-    return (
-        l.crossJoin(r)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cos, 6).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    """DF[a, b, cos] — all pairs with cosine >= threshold (EXACT in
+    both methods; pytest asserts set equality between them).
+
+    method="tiled" (default, the scale path): partition the corpus
+    into B = ceil(n/block_rows) blocks, replicate each row to its B
+    block-pairs, and compute one normalized matmul per pair inside
+    applyInPandas. Work is the same O(n^2) dot products an exact
+    answer requires, but laid out as n*B shuffled rows and B(B+1)/2
+    bounded-memory tiles across executors — no per-row crossJoin
+    blow-up, no single-task all-pairs. (For approximate near-dup at
+    much lower cost, use ann_buckets + verify.)
+
+    method="allpairs": the pure column-expression cross join — the
+    semantic spec the DuckDB oracle mirrors fold-for-fold; quadratic
+    rows, test-scale only.
+    """
+    if method == "allpairs":
+        base = with_norm(df, vec_col)
+        l = base.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+        r = base.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+        cos = F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        ).otherwise(F.lit(0.0))
+        return (
+            l.crossJoin(r)
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cos, 6).alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    if method != "tiled":
+        raise ValueError(f"unknown method: {method}")
+    spark = df.sparkSession
+    n = df.count()
+    n_blocks = max(1, -(-n // block_rows))
+    pair_rows = [
+        (blk, gi, gj)
+        for gi in range(n_blocks)
+        for gj in range(gi, n_blocks)
+        for blk in ({gi, gj})
+    ]
+    pair_map = spark.createDataFrame(pair_rows, "blk long, gi long, gj long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_g"),
+    )
+    repl = base.join(F.broadcast(pair_map), base["_g"] == pair_map["blk"])
+    return repl.groupBy("gi", "gj").applyInPandas(
+        _near_dup_tile_kernel(threshold), "a long, b long, cos double"
     )
 
 

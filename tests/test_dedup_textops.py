@@ -119,6 +119,30 @@ def test_exact_dedup(docs_df):
     assert sum(rows.values()) == len(DOCS)
 
 
+def test_exact_dedup_hash_collision_injection(docs_df):
+    """Force every doc onto ONE 64-bit 'hash' value: the md5 in-group
+    verify must still split distinct texts, so the hash-grouped plan
+    equals the semantic groupBy(text) spec even under total collision."""
+    weak = exact_dedup(docs_df, hash_fn=lambda c: F.lit(0).cast("long"))
+    spec = (
+        docs_df.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+    assert sorted(map(tuple, weak.collect())) == sorted(map(tuple, spec.collect()))
+
+
+def test_exact_dedup_verify_text_mode(docs_df):
+    got = sorted(map(tuple, exact_dedup(docs_df, verify="text").collect()))
+    ref = sorted(map(tuple, exact_dedup(docs_df).collect()))
+    assert got == ref
+
+
+def test_simhash_radius_guard(docs_df):
+    with pytest.raises(ValueError):
+        simhash_near_dups(simhash_fingerprints(docs_df), radius=3)
+
+
 def test_simhash_near_dup_banded_equals_full_scan(spark, docs_df):
     """The banded plan must return EXACTLY the hamming<=2 pairs."""
     fps = simhash_fingerprints(docs_df)

@@ -1,0 +1,103 @@
+"""Path-family parity: multi-source BFS, weighted SSSP, closeness,
+betweenness — exact vs networkx on directed fixtures.
+
+Betweenness with sources = ALL vertices must equal networkx
+betweenness_centrality(normalized=False) exactly (same Brandes
+recurrences; float compare at 1e-9 after the 6-dp round on our side
+is replaced by raw compare via a no-round helper — we compare the
+rounded values against networkx rounded identically).
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from graftlink.paths import (
+    betweenness_from_sources,
+    closeness_from_sources,
+    multi_source_bfs,
+    sssp_weighted,
+)
+from tests.conftest import edges_df
+from tests.oracles import er_edges
+
+FIX = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 0), (2, 5), (5, 6), (6, 2)]
+N_FIX = 7
+
+
+def digraph(pairs, n):
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    return g
+
+
+def test_multi_source_bfs_matches_networkx(spark):
+    g = digraph(FIX, N_FIX)
+    got = {
+        (r.source, r.id): r.dist
+        for r in multi_source_bfs(edges_df(spark, FIX), [0, 5]).collect()
+    }
+    want = {}
+    for s in (0, 5):
+        for v, d in nx.single_source_shortest_path_length(g, s).items():
+            want[(s, v)] = d
+    assert got == want
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    from pyspark.sql import functions as F
+
+    e = edges_df(spark, FIX).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    g = nx.DiGraph()
+    g.add_weighted_edges_from([(a, b, a % 7 + b % 3 + 1) for a, b in FIX])
+    want = nx.single_source_dijkstra_path_length(g, 0)
+    got = {r.id: r.dist for r in sssp_weighted(e, 0).collect()}
+    assert got == {v: float(d) for v, d in want.items()}
+
+
+def test_closeness_matches_networkx(spark):
+    g = digraph(FIX, N_FIX)
+    got = {
+        r.id: r.closeness
+        for r in closeness_from_sources(edges_df(spark, FIX), [0, 2, 5]).collect()
+    }
+    for s in (0, 2, 5):
+        dists = nx.single_source_shortest_path_length(g, s)
+        want = (len(dists) - 1) / sum(dists.values()) if sum(dists.values()) else 0.0
+        assert got[s] == round(want, 6)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_betweenness_all_sources_exact(spark, seed):
+    n = 25
+    pairs = [(a, b) for a, b in er_edges(n, 0.1, seed) if a != b]
+    g = digraph(pairs, n)
+    want = nx.betweenness_centrality(g, normalized=False)
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_from_sources(
+            edges_df(spark, pairs), sources=list(range(n))
+        ).collect()
+    }
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+
+def test_betweenness_star_center(spark):
+    # directed star in+out: center relays every leaf pair
+    leaves = range(1, 6)
+    pairs = [(0, i) for i in leaves] + [(i, 0) for i in leaves]
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_from_sources(
+            edges_df(spark, pairs), sources=list(range(6))
+        ).collect()
+    }
+    want = nx.betweenness_centrality(digraph(pairs, 6), normalized=False)
+    for v in range(6):
+        assert got[v] == pytest.approx(want[v], abs=2e-6)

@@ -107,6 +107,50 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_of(q)
 
 
+def test_bucketed_edge_table_avoids_exchange(spark):
+    """E14 round-trip: write_edges_bucketed -> read back -> src-keyed
+    agg AND src-keyed self-join both plan with NO Exchange (the
+    bucketed layout IS the partitioning, so co-located work is free).
+    On Iceberg the same contract is PARTITIONED BY (bucket(B, src))."""
+    from graftlink.sources import write_edges_bucketed
+
+    import shutil
+
+    e = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+    # the managed-table location can survive a previous session whose
+    # in-memory catalog forgot the table — clear it
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/bucketed_edges_test", ignore_errors=True)
+    write_edges_bucketed(e, "bucketed_edges_test", buckets=4)
+    try:
+        t = spark.table("bucketed_edges_test")
+        agg_plan = plan_of(t.groupBy("src").agg(F.count("*").alias("d")))
+        assert "Exchange" not in agg_plan
+        # force a shuffle-class join (broadcast would trivially avoid
+        # the exchange): bucketed SMJ must need NO shuffle exchange
+        join_plan = plan_of(t.alias("l").hint("merge").join(t.alias("r"), "src"))
+        assert "Exchange hashpartitioning" not in join_plan
+        # and the data survives the round trip
+        assert spark.table("bucketed_edges_test").count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_test")
+
+
+def test_read_pages_iceberg_seam(spark):
+    """format="iceberg" is a declared seam: it must route to the
+    iceberg DataSource (absent in this sandbox -> analysis error
+    mentioning the format), never silently fall back to parquet."""
+    import pytest as _pytest
+
+    from graftlink.sources import read_pages
+
+    with _pytest.raises(Exception, match="(?i)iceberg|data source|Failed to find"):
+        read_pages(spark, "/tmp/nonexistent_iceberg_table", fmt="iceberg").collect()
+
+
 def test_no_row_wise_python_udfs_in_engine():
     """API gate (BASELINE.json:15 'no per-row Python'): the engine
     never registers a row-wise @udf; only mapInArrow/applyInPandas

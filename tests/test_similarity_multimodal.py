@@ -117,6 +117,32 @@ def test_embedding_near_dups_symmetric_clusters(emb_df):
         assert r.a % N_CLUSTERS == r.b % N_CLUSTERS
 
 
+def test_embedding_near_dups_tiled_equals_allpairs(emb_df):
+    """The default tiled plan must be EXACT: same (a, b, cos) set as
+    the cross-join spec, regardless of block layout (block_rows=32
+    forces 4 blocks / 10 tiles on the 120-row fixture)."""
+    tiled = {
+        (r.a, r.b, r.cos)
+        for r in embedding_near_dups(
+            emb_df, threshold=0.9, block_rows=32
+        ).collect()
+    }
+    spec = {
+        (r.a, r.b, r.cos)
+        for r in embedding_near_dups(emb_df, threshold=0.9, method="allpairs").collect()
+    }
+    assert tiled == spec
+    assert len(tiled) > 0
+
+
+def test_embedding_near_dups_no_crossjoin_in_tiled_plan(emb_df):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(embedding_near_dups(emb_df, block_rows=32))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_norms(emb_df):
     rows = _make_vectors()
     want = {i: np.linalg.norm(np.array(v, dtype=np.float64)) for i, v in rows}
