@@ -349,6 +349,18 @@ def _q_eigenvector_top20(spark, sf_dir):
     )
 
 
+def _q_katz_top20(spark, sf_dir):
+    from graftlink.spectral import katz_centrality
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    return (
+        katz_centrality(e)
+        .select("id", F.round("katz", 6).alias("katz"))
+        .orderBy(F.col("katz").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
 def _q_pages_pipeline_top10(spark, sf_dir):
     """The full north-star pipeline on a deterministic synthetic
     pages corpus (input_hint schema): pages -> latest-snapshot dedup
@@ -606,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "hits_top20": _q_hits_top20,
         "eigenvector_top20": _q_eigenvector_top20,
+        "katz_top20": _q_katz_top20,
         "bfs_distances": _q_bfs_distances,
         "pages_pipeline_top10": _q_pages_pipeline_top10,
         "connected_components": _q_components,
@@ -776,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _isql.pagerank_personalized_sql(_CLEAN),
         "hits_top20": _isql.hits_sql(_CLEAN),
         "eigenvector_top20": _isql.eigenvector_sql(_CLEAN),
+        "katz_top20": _isql.katz_sql(_CLEAN),
         "connected_components": _isql.components_sql(_CLEAN),
         "component_sizes": _isql.component_sizes_sql(_CLEAN),
         "lpa_communities": _isql.lpa_sql(_CLEAN),

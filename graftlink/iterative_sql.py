@@ -216,6 +216,36 @@ def hits_sql(clean: str, iters: int = HITS_ITERS, top: int = 20) -> str:
     """
 
 
+KATZ_ITERS = 15
+
+
+def katz_sql(
+    clean: str, alpha: float = 0.1, beta: float = 1.0,
+    iters: int = KATZ_ITERS, top: int = 20,
+) -> str:
+    """Truncated Katz series: x_{t+1} = alpha * A^T x_t + beta from
+    x_0 = beta (spectral.katz_centrality's exact recurrence)."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        x(round, id, xv) AS (
+            SELECT 0, id, CAST({float(beta)} AS DOUBLE) FROM verts
+            UNION ALL
+            SELECT r.round + 1, r.id,
+                   {alpha} * coalesce(p.v, 0.0) + {float(beta)}
+            FROM x r
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(st.xv) AS v
+                FROM x st JOIN clean e ON e.src = st.id
+                GROUP BY e.dst
+            ) p ON p.id = r.id
+            WHERE r.round < {iters}
+        )
+        SELECT id, round(xv, 6) AS katz FROM x WHERE round = {iters}
+        ORDER BY katz DESC, id ASC LIMIT {top}
+    """
+
+
 def eigenvector_sql(clean: str, iters: int = EIGEN_ITERS, top: int = 20) -> str:
     """Leading eigenvector of (A + A^T) — pack_adjacency(undirected)
     keeps one neighbor entry per directed edge, so a reciprocal pair
@@ -373,7 +403,12 @@ def sssp_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
 
 
 def _brandes_source_ctes(i: int, s: int, max_depth: int) -> str:
-    """dist/sigma/backward CTE block for one Brandes source."""
+    """dist/sigma/backward CTE block for one Brandes source.
+
+    Derived CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs at
+    every reference, so a GROUP BY over the raw reachability recursion
+    referenced inside ANOTHER recursion re-executes the whole closure
+    per iteration — measured minutes instead of seconds per source."""
     return f"""
         raw{i}(id, dist) AS (
             SELECT CAST({s} AS BIGINT), 0
@@ -381,26 +416,28 @@ def _brandes_source_ctes(i: int, s: int, max_depth: int) -> str:
             SELECT e.dst, r.dist + 1 FROM raw{i} r JOIN clean e ON e.src = r.id
             WHERE r.dist < {max_depth}
         ),
-        dist{i} AS (SELECT id, min(dist) AS dist FROM raw{i} GROUP BY id),
+        dist{i} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM raw{i} GROUP BY id),
+        ml{i} AS MATERIALIZED (SELECT max(dist) AS m FROM dist{i}),
         sigma{i}(round, id, sigma) AS (
             SELECT 0, CAST({s} AS BIGINT), CAST(1.0 AS DOUBLE)
             UNION ALL
             SELECT st.round + 1, e.dst, sum(st.sigma)
             FROM sigma{i} st
+            CROSS JOIN ml{i}
             JOIN clean e ON e.src = st.id
             JOIN dist{i} dv ON dv.id = e.dst AND dv.dist = st.round + 1
-            WHERE st.round < (SELECT max(dist) FROM dist{i})
+            WHERE st.round < ml{i}.m
             GROUP BY st.round, e.dst
         ),
-        sfin{i} AS (SELECT id, sigma FROM sigma{i}),
+        sfin{i} AS MATERIALIZED (SELECT id, sigma FROM sigma{i}),
         back{i}(round, id, delta) AS (
-            SELECT 0, id, CAST(0.0 AS DOUBLE) FROM dist{i}
-            WHERE dist = (SELECT max(dist) FROM dist{i})
+            SELECT 0, d.id, CAST(0.0 AS DOUBLE) FROM dist{i} d, ml{i}
+            WHERE d.dist = ml{i}.m
             UNION ALL
             SELECT b0.round + 1, lv.id, sgv.sigma * coalesce(ct.acc, 0.0)
             FROM (SELECT DISTINCT round FROM back{i}) b0
-            JOIN dist{i} lv
-              ON lv.dist = (SELECT max(dist) FROM dist{i}) - b0.round - 1
+            CROSS JOIN ml{i}
+            JOIN dist{i} lv ON lv.dist = ml{i}.m - b0.round - 1
             JOIN sfin{i} sgv ON sgv.id = lv.id
             LEFT JOIN (
                 SELECT e.src AS id, sum((1.0 + bw.delta) / sg.sigma) AS acc
@@ -409,7 +446,7 @@ def _brandes_source_ctes(i: int, s: int, max_depth: int) -> str:
                 JOIN clean e ON e.dst = bw.id
                 GROUP BY e.src
             ) ct ON ct.id = lv.id
-            WHERE b0.round < (SELECT max(dist) FROM dist{i}) - 1
+            WHERE b0.round < ml{i}.m - 1
         )"""
 
 

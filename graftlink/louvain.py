@@ -11,22 +11,27 @@ distributed Louvain has the same shape), made DETERMINISTIC:
 - move phase: every vertex evaluates its neighbor communities'
   modularity gain  dQ(c) = k_{i,c} - gamma * k_i * Sigma_tot^{-i}(c)
   / (2m)  from the same snapshot; best community = max gain, ties ->
-  min community id; a vertex only moves on rounds matching its parity
-  ((id + round) % 2 == 0), which kills the two-vertex swap
-  oscillation synchronous Louvain is prone to without any RNG.
+  min community id; a move is ACCEPTED only if the vertex's
+  improvement is the strict lexicographic (gain, -id) maximum among
+  itself and all would-moving neighbors (Grappolo-style local-maxima
+  acceptance). Accepted movers form an independent set, so each round
+  strictly increases modularity — synchronous-swap oscillation is
+  impossible, with no RNG anywhere.
 - coarsen phase: contract communities to super-vertices (edge weights
   aggregate, intra-community weight becomes a self-loop), then repeat
   the move phase one level up. Levels are few (web graphs: 3-5);
   every phase is built-in joins/aggs over (id, community) state.
 
 Determinism: integer ids, same-snapshot synchronous evaluation and
-parity gating -> identical output at any partitioning (pytest gate).
+id-tie-broken local-maxima acceptance -> identical output at any
+partitioning (pytest gate).
 Quality gate: modularity(louvain) >= modularity(LPA) on the standard
 fixtures, and exact two-clique recovery.
 
-No SQL oracle: the gain argmax + parity + coarsening recursion is far
-outside a readable recursive CTE; driver registration is rows-only
-with the pytest gates above (the declared weaker-check category).
+No SQL oracle: the gain argmax + acceptance + coarsening recursion is
+far outside a readable recursive CTE; driver registration is
+rows-only with the pytest gates above (the declared weaker-check
+category).
 """
 
 from __future__ import annotations
@@ -116,7 +121,6 @@ def _move_phase(
         None, "louvain", wedges.sparkSession, mode="local", truncate_every=1
     )
 
-    quiet = 0
     for rnd in range(max_rounds):
         ctot = (
             comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("ktot"))
@@ -167,19 +171,44 @@ def _move_phase(
         cur_gain = scored.where(F.col("nc") == F.col("c")).select(
             "id", F.col("gain").alias("stay_gain")
         )
-        moved = (
+        # local-maxima acceptance (Grappolo-style "best in
+        # neighborhood moves"): a vertex moves only if its improvement
+        # is lexicographically ((gain, -id)) the strict maximum among
+        # itself and every would-moving neighbor. Accepted movers form
+        # an independent set, so each round is a strict modularity
+        # ascent — no swap/chase oscillation, no RNG, deterministic.
+        # (The round-1 draft gated moves by (id+round) parity instead;
+        # that oscillates on hub graphs — karate cycled at Q=0.28.)
+        movers = (
             best.join(cur_gain, "id")
+            .where(F.col("best_gain") > F.col("stay_gain") + F.lit(1e-12))
             .select(
-                "id",
-                F.when(
-                    ((F.col("id") + F.lit(rnd)) % 2 == 0)
-                    & (F.col("best_gain") > F.col("stay_gain") + F.lit(1e-12)),
-                    F.col("best_c"),
-                )
-                .otherwise(F.col("c"))
-                .alias("new_c"),
-                F.col("c"),
+                "id", "best_c",
+                (F.col("best_gain") - F.col("stay_gain")).alias("mgain"),
             )
+        )
+        nbr_best = (
+            sym.select("u", "v")
+            .join(
+                movers.select(
+                    F.col("id").alias("v"),
+                    F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.max("_ns").alias("_nb"))
+        )
+        accepted = (
+            movers.join(nbr_best, "id", "left")
+            .where(
+                F.col("_nb").isNull()
+                | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
+            )
+            .select("id", "best_c")
+        )
+        moved = comm.join(accepted, "id", "left").select(
+            "id", F.coalesce("best_c", F.col("c")).alias("new_c"), F.col("c")
         )
         new_comm, row = mgr.save(
             moved.select("id", F.col("new_c").alias("c"), F.col("c").alias("prev")),
@@ -190,11 +219,10 @@ def _move_phase(
         )
         comm = new_comm.select("id", "c")
         if not row["changed"]:
-            quiet += 1
-            if quiet >= 2:  # both parities had a quiet round
-                break
-        else:
-            quiet = 0
+            # the globally-best mover is always accepted (no neighbor
+            # outranks it), so zero accepted moves <=> zero movers
+            # <=> single-move fixpoint
+            break
     comm = mgr.finalize(comm)
     return comm
 

@@ -117,6 +117,39 @@ def hits(
     return out.select("id", "hub", "authority")
 
 
+def katz_centrality(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iter: int = 15,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, katz] — x_{t+1} = alpha * A^T x_t + beta, x_0 = beta,
+    run a FIXED iteration count (truncated Katz series; convergent
+    for alpha < 1/lambda_max, and deterministic regardless so the
+    bounded-round SQL twin mirrors it exactly). No normalization —
+    the truncated series itself is the spec (networkx's normalized
+    fixpoint variant differs by a scale; pytest pins the numpy dense
+    iteration instead)."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    verts = (vertices or vertex_universe(edges)).select("id").repartition(b, "id")
+    adj = pack_adjacency(edges, buckets=b).persist()
+    mgr = CheckpointManager(None, "katz", spark, mode="local", buckets=b)
+    state = verts.withColumn("x", F.lit(float(beta))).repartition(b, "id")
+    for it in range(max_iter):
+        pulled = _pull(adj, state, F.col("x")).withColumnRenamed("dst", "id")
+        new_state = verts.join(pulled, "id", "left").select(
+            "id",
+            (F.lit(alpha) * F.coalesce("_pull", F.lit(0.0)) + F.lit(float(beta))).alias("x"),
+        )
+        state = mgr.save(new_state, it, "id", counters={"iteration": it})
+    state = mgr.finalize(state)
+    adj.unpersist()
+    return state.select("id", F.col("x").alias("katz"))
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     vertices: DataFrame | None = None,

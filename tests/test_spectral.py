@@ -55,3 +55,28 @@ def test_eigenvector_karate_vs_numpy(spark):
     want = np_eigen(34, pairs)
     for i in range(34):
         assert got[i] == pytest.approx(want[i], abs=1e-3), i
+
+
+def np_katz(n, pairs, alpha=0.1, beta=1.0, iters=15):
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] = 1.0
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = alpha * (A.T @ x) + beta
+    return x
+
+
+def test_katz_vs_numpy(spark):
+    from graftlink.spectral import katz_centrality
+
+    pairs = [(a, b) for a, b in er_edges(30, 0.1, 5) if a != b]
+    n = 30
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r.id: r.katz
+        for r in katz_centrality(edges_df(spark, pairs), vertices=verts).collect()
+    }
+    want = np_katz(n, pairs)
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
