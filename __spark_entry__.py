@@ -556,6 +556,12 @@ def _q_betweenness(spark, sf_dir):
     return betweenness_from_sources(clean_edges(doc_edges(spark, sf_dir)), _PATH_SOURCES)
 
 
+def _q_pseudo_diameter(spark, sf_dir):
+    from graftlink.paths import pseudo_diameter
+
+    return pseudo_diameter(clean_edges(doc_edges(spark, sf_dir)), start=0)
+
+
 def _q_louvain(spark, sf_dir):
     """Deterministic parallel Louvain (rows-only: the modularity-gain
     argmax + coarsening recursion is not reasonably SQL-expressible;
@@ -631,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sources": _q_closeness,
         "betweenness_sources": _q_betweenness,
         "louvain_communities": _q_louvain,
+        "pseudo_diameter": _q_pseudo_diameter,
     }
 
 
@@ -801,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": _isql.sssp_sql(_CLEAN, 0),
         "closeness_sources": _isql.closeness_sql(_CLEAN, _PATH_SOURCES),
         "betweenness_sources": _isql.betweenness_sql(_CLEAN, _PATH_SOURCES),
+        "pseudo_diameter": _isql.pseudo_diameter_sql(_CLEAN, 0),
         # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas converts to
         # float64 — the driver canonicalizer then sees 19525.0 vs 19525
         "lang_stats": """

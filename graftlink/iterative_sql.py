@@ -402,6 +402,40 @@ def sssp_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
     """
 
 
+def pseudo_diameter_sql(
+    clean: str, start: int = 0, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Double-sweep twin: BFS from `start` over the undirected view,
+    farthest vertex (ties -> min id), BFS from it, max distance."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        nb AS (
+            SELECT src AS u, dst AS v FROM clean
+            UNION SELECT dst, src FROM clean
+        ),
+        d1(id, dist) AS (
+            SELECT CAST({start} AS BIGINT), 0
+            UNION
+            SELECT n.v, dd.dist + 1 FROM d1 dd JOIN nb n ON n.u = dd.id
+            WHERE dd.dist < {max_depth}
+        ),
+        far AS MATERIALIZED (
+            SELECT id FROM (SELECT id, min(dist) AS dist FROM d1 GROUP BY id)
+            ORDER BY dist DESC, id ASC LIMIT 1
+        ),
+        d2(id, dist) AS (
+            SELECT id, 0 FROM far
+            UNION
+            SELECT n.v, dd.dist + 1 FROM d2 dd JOIN nb n ON n.u = dd.id
+            WHERE dd.dist < {max_depth}
+        )
+        SELECT (SELECT id FROM far) AS far_id,
+               CAST(max(dist) AS INT) AS diameter_lb
+        FROM (SELECT id, min(dist) AS dist FROM d2 GROUP BY id)
+    """
+
+
 def _brandes_source_ctes(i: int, s: int, max_depth: int) -> str:
     """dist/sigma/backward CTE block for one Brandes source.
 

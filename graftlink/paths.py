@@ -86,6 +86,27 @@ def bfs_distances(
     return result
 
 
+def pseudo_diameter(
+    edges: DataFrame,
+    start: int = 0,
+    directed: bool = False,
+    buckets: int | None = None,
+) -> DataFrame:
+    """One-row DF[far_id, diameter_lb] — double-sweep BFS (Magnien/
+    Latapy/Habib): BFS from `start`, take the farthest vertex (ties ->
+    min id), BFS again from it; the second eccentricity is a lower
+    bound on the diameter (exact on trees, near-exact on web graphs —
+    igraph_diameter's exact all-pairs form is BSP-hostile at scale).
+    Both sweeps reuse the frontier superstep; deterministic."""
+    d1 = bfs_distances(edges, start, directed=directed, buckets=buckets)
+    far = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).limit(1).collect()[0]
+    d2 = bfs_distances(edges, int(far["id"]), directed=directed, buckets=buckets)
+    return d2.agg(
+        F.lit(int(far["id"])).alias("far_id"),
+        F.max("dist").cast("int").alias("diameter_lb"),
+    )
+
+
 def multi_source_bfs(
     edges: DataFrame,
     sources: list[int],

@@ -101,3 +101,28 @@ def test_betweenness_star_center(spark):
     want = nx.betweenness_centrality(digraph(pairs, 6), normalized=False)
     for v in range(6):
         assert got[v] == pytest.approx(want[v], abs=2e-6)
+
+
+def test_pseudo_diameter_tree_exact_and_lb(spark):
+    from graftlink.paths import pseudo_diameter
+
+    # path graph (a tree): double sweep is exact
+    n = 9
+    chain = [(i, i + 1) for i in range(n - 1)]
+    row = pseudo_diameter(edges_df(spark, chain), start=4).collect()[0]
+    assert row.diameter_lb == n - 1
+    # general graph: result is a lower bound on the true diameter and
+    # matches a pure-python double sweep with the same tie-break
+    pairs = [(a, b) for a, b in er_edges(30, 0.08, 7) if a != b]
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    comp = max(nx.connected_components(g), key=len)
+    start = min(comp)
+    d1 = nx.single_source_shortest_path_length(g, start)
+    far = min(v for v in d1 if d1[v] == max(d1.values()))
+    d2 = nx.single_source_shortest_path_length(g, far)
+    want = max(d2.values())
+    row = pseudo_diameter(edges_df(spark, pairs), start=start).collect()[0]
+    assert row.far_id == far
+    assert row.diameter_lb == want
+    assert row.diameter_lb <= nx.diameter(g.subgraph(comp))
