@@ -83,41 +83,33 @@ def _labels_from_star_edges(e: DataFrame, verts: DataFrame) -> DataFrame:
 
 
 def _cc_star(edges: DataFrame, verts: DataFrame, max_iter: int) -> DataFrame:
-    spark = edges.sparkSession
-    # truncate_every=1: unlike the linear pagerank/lpa superstep, each
-    # star round references its input FOUR times (large-star and
-    # small-star both read their input twice), so plan size grows 4^r
-    # between truncations — truncate every round, as round 1 did
-    mgr = CheckpointManager(None, "cc_star", spark, mode="local", truncate_every=1)
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # converged iff the (distinct) edge set is unchanged — the
-    # alternation's fixpoints are exactly the star graphs. Round 1
-    # checked that with count() + exceptAll(), an extra full shuffle of
-    # BOTH edge sets every round; now the check is a (count, xor-of-
-    # edge-hashes) fingerprint computed IN the job that materializes
-    # the round's edge set — equal count + equal 64-bit xor on distinct
-    # sets is an order-of-2^-64 false-positive, far below any real risk.
+    # one localCheckpoint materialization per round (star rounds
+    # reference their input 4x, so plans would grow 4^r without it),
+    # then convergence from ONE cheap reduce over the materialized
+    # blocks: the (count, xor-of-edge-hashes) fingerprint. Round 1
+    # instead ran count() + exceptAll() — a full extra shuffle of BOTH
+    # edge sets every round. Equal count + equal 64-bit xor on
+    # distinct sets is a ~2^-64 false-positive, far below any real
+    # risk; the alternation's fixpoints are exactly the star graphs.
     prev_sig = None
-    for it in range(max_iter):
-        new_e = _small_star(_large_star(e))
-        new_e, row = mgr.save(
-            new_e, it, "u", counters={"iteration": it},
-            stats_cols=[
-                F.count("*").alias("c"),
-                F.bit_xor(F.xxhash64("u", "v")).alias("fp"),
-            ],
-        )
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = new_e.agg(
+            F.count("*").alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("fp"),
+        ).collect()[0]
         sig = (row["c"], row["fp"])
         e = new_e
         if sig == prev_sig or row["c"] == 0:
             break
         prev_sig = sig
-    labels = mgr.finalize(_labels_from_star_edges(e, verts))
-    return labels
+    return _labels_from_star_edges(e, verts)
 
 
 # ---------------------------------------------------------------------------
