@@ -556,6 +556,14 @@ def _q_betweenness(spark, sf_dir):
     return betweenness_from_sources(clean_edges(doc_edges(spark, sf_dir)), _PATH_SOURCES)
 
 
+def _q_ecc_harmonic(spark, sf_dir):
+    from graftlink.paths import eccentricity_harmonic_from_sources
+
+    return eccentricity_harmonic_from_sources(
+        clean_edges(doc_edges(spark, sf_dir)), _PATH_SOURCES
+    )
+
+
 def _q_pseudo_diameter(spark, sf_dir):
     from graftlink.paths import pseudo_diameter
 
@@ -638,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sources": _q_betweenness,
         "louvain_communities": _q_louvain,
         "pseudo_diameter": _q_pseudo_diameter,
+        "eccentricity_harmonic": _q_ecc_harmonic,
     }
 
 
@@ -809,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "closeness_sources": _isql.closeness_sql(_CLEAN, _PATH_SOURCES),
         "betweenness_sources": _isql.betweenness_sql(_CLEAN, _PATH_SOURCES),
         "pseudo_diameter": _isql.pseudo_diameter_sql(_CLEAN, 0),
+        "eccentricity_harmonic": _isql.eccentricity_harmonic_sql(_CLEAN, _PATH_SOURCES),
         # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas converts to
         # float64 — the driver canonicalizer then sees 19525.0 vs 19525
         "lang_stats": """

@@ -384,6 +384,18 @@ def closeness_sql(clean: str, sources: list[int]) -> str:
     """
 
 
+def eccentricity_harmonic_sql(clean: str, sources: list[int]) -> str:
+    """Per-source eccentricity + unnormalized harmonic centrality over
+    the batched BFS."""
+    return f"""
+        WITH msb AS ({multi_source_bfs_sql(clean, sources)})
+        SELECT source AS id,
+               CAST(max(dist) AS INT) AS eccentricity,
+               round(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 6) AS harmonic
+        FROM msb GROUP BY source
+    """
+
+
 def sssp_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
     """Weighted SSSP with the driver's deterministic arithmetic weights
     (src%7 + dst%3 + 1). Integer-valued doubles dedup exactly in the

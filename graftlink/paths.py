@@ -235,6 +235,29 @@ def closeness_from_sources(
     )
 
 
+def eccentricity_harmonic_from_sources(
+    edges: DataFrame,
+    sources: list[int],
+    directed: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, eccentricity, harmonic] per source — igraph_eccentricity
+    and igraph_harmonic_centrality (OUT mode, unnormalized: sum of
+    1/d over reachable t != s) for the sampled sources, from ONE
+    batched BFS."""
+    d = multi_source_bfs(edges, sources, directed=directed, buckets=buckets)
+    return (
+        d.groupBy(F.col("source").alias("id"))
+        .agg(
+            F.max("dist").cast("int").alias("eccentricity"),
+            F.round(
+                F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
+                6,
+            ).alias("harmonic"),
+        )
+    )
+
+
 def betweenness_from_sources(
     edges: DataFrame,
     sources: list[int],

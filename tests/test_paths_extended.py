@@ -126,3 +126,21 @@ def test_pseudo_diameter_tree_exact_and_lb(spark):
     assert row.far_id == far
     assert row.diameter_lb == want
     assert row.diameter_lb <= nx.diameter(g.subgraph(comp))
+
+
+def test_eccentricity_harmonic_vs_networkx(spark):
+    from graftlink.paths import eccentricity_harmonic_from_sources
+
+    g = digraph(FIX, N_FIX)
+    got = {
+        r.id: (r.eccentricity, r.harmonic)
+        for r in eccentricity_harmonic_from_sources(
+            edges_df(spark, FIX), [0, 2, 5]
+        ).collect()
+    }
+    for s in (0, 2, 5):
+        d = nx.single_source_shortest_path_length(g, s)
+        ecc = max(d.values())
+        harm = sum(1.0 / v for v in d.values() if v > 0)
+        assert got[s][0] == ecc
+        assert got[s][1] == round(harm, 6)
