@@ -27,14 +27,18 @@ from graftlink.components import connected_components
 from graftlink.kcore import core_numbers, k_core
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
+from graftlink.louvain import louvain_communities, modularity
 from graftlink.paths import (
     betweenness_from_sources,
     bfs_distances,
     closeness_from_sources,
+    eccentricity_harmonic_from_sources,
     multi_source_bfs,
+    pseudo_diameter,
     sssp_weighted,
 )
 from graftlink.scc import strongly_connected_components
+from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
 from graftlink.triangles import triangle_count, triangles_per_vertex
 from graftlink.vertices import degrees, encode_vertices
 
@@ -55,6 +59,13 @@ __all__ = [
     "sssp_weighted",
     "closeness_from_sources",
     "betweenness_from_sources",
+    "eccentricity_harmonic_from_sources",
+    "pseudo_diameter",
+    "louvain_communities",
+    "modularity",
+    "hits",
+    "eigenvector_centrality",
+    "katz_centrality",
 ]
 
 __version__ = "0.1.0"
