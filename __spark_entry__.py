@@ -570,6 +570,19 @@ def _q_pseudo_diameter(spark, sf_dir):
     return pseudo_diameter(clean_edges(doc_edges(spark, sf_dir)), start=0)
 
 
+def _q_lpa_weighted(spark, sf_dir):
+    """Weighted LPA (igraph weights= arg): votes carry edge weight,
+    deterministic arithmetic weights keep sums exact cross-engine."""
+    from graftlink.lpa import label_propagation
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    return label_propagation(
+        e, checkpoint_mode="local", max_iter=20, weight_col="weight"
+    )
+
+
 def _q_louvain(spark, sf_dir):
     """Deterministic parallel Louvain (rows-only: the modularity-gain
     argmax + coarsening recursion is not reasonably SQL-expressible;
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "lpa_communities": _q_lpa_communities,
+        "lpa_weighted_communities": _q_lpa_weighted,
         # round-2 additions
         "scc_components": _q_scc,
         "multi_source_bfs": _q_multi_source_bfs,
@@ -809,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _isql.components_sql(_CLEAN),
         "component_sizes": _isql.component_sizes_sql(_CLEAN),
         "lpa_communities": _isql.lpa_sql(_CLEAN),
+        "lpa_weighted_communities": _isql.lpa_sql(_CLEAN, weighted=True),
         "bfs_distances": _isql.bfs_sql(_CLEAN, source=0),
         "core_numbers": _isql.core_numbers_sql(_CLEAN),
         "k_core_3": _isql.k_core_sql(_CLEAN, 3),

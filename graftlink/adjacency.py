@@ -39,11 +39,13 @@ def pack_adjacency(
     max_block: int = DEFAULT_MAX_BLOCK,
     undirected: bool = False,
     weight_col: str | None = None,
+    normalize_weights: bool = True,
 ) -> DataFrame:
     """edges DF[src, dst] -> adj DF[src, neighbors, out_deg]
     (+ `wnorm: array<double>` aligned with neighbors when weight_col
     is given — per-src weights normalized to sum 1, the weighted-
-    PageRank transition row).
+    PageRank transition row; normalize_weights=False keeps the RAW
+    weights in that column instead, the weighted-LPA vote row).
 
     undirected=True packs the union of both orientations (CC/LPA view);
     multi-edges are preserved as repeated neighbors (igraph semantics:
@@ -110,7 +112,11 @@ def pack_adjacency(
             .select(
                 "src",
                 F.transform("_nb", lambda s: s["dst"]).alias("neighbors"),
-                F.transform("_nb", lambda s: s["_w"] / F.col("_wsum")).alias("wnorm"),
+                (
+                    F.transform("_nb", lambda s: s["_w"] / F.col("_wsum"))
+                    if normalize_weights
+                    else F.transform("_nb", lambda s: s["_w"])
+                ).alias("wnorm"),
                 F.coalesce("_hdeg", F.col("_cnt")).alias("out_deg"),
             )
         )

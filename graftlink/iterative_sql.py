@@ -573,18 +573,38 @@ def k_core_sql(clean: str, k: int, rounds: int = CORE_ROUNDS) -> str:
 # ---------------------------------------------------------------------------
 
 
-def lpa_sql(clean: str, iters: int = LPA_ITERS) -> str:
+def lpa_sql(clean: str, iters: int = LPA_ITERS, weighted: bool = False) -> str:
     """Deterministic synchronous LPA (graftlink.lpa spec): votes =
     neighbor labels over the UNION ALL multiset (reciprocal directed
     edges vote twice) + own label once; winner = max count, ties ->
-    min label; communities renumbered by ascending min member id."""
+    min label; communities renumbered by ascending min member id.
+
+    weighted=True mirrors the weight_col variant: each neighbor vote
+    carries its edge weight (computed on the ORIGINAL orientation,
+    carried unchanged on the reversed copy — matching pack_adjacency's
+    undirected union), self-vote weight 1.0. Integer-valued weights
+    keep sums exact in doubles."""
+    w_expr = "CAST(src % 7 + dst % 3 + 1 AS DOUBLE)"
+    if weighted:
+        nb = (
+            f"SELECT src AS u, dst AS v, {w_expr} AS w FROM clean "
+            f"UNION ALL SELECT dst, src, {w_expr} FROM clean"
+        )
+        nbr_vote = "SELECT n.v AS id, st.label, n.w FROM lab st JOIN nb n ON n.u = st.id"
+        self_vote = "SELECT st2.id, st2.label, CAST(1.0 AS DOUBLE) FROM lab st2"
+        agg = "sum(votes.w)"
+    else:
+        nb = (
+            "SELECT src AS u, dst AS v FROM clean "
+            "UNION ALL SELECT dst, src FROM clean"
+        )
+        nbr_vote = "SELECT n.v AS id, st.label FROM lab st JOIN nb n ON n.u = st.id"
+        self_vote = "SELECT st2.id, st2.label FROM lab st2"
+        agg = "count(*)"
     return f"""
         WITH RECURSIVE
         {_prelude(clean)},
-        nb AS (
-            SELECT src AS u, dst AS v FROM clean
-            UNION ALL SELECT dst, src FROM clean
-        ),
+        nb AS ({nb}),
         lab(round, id, label) AS (
             SELECT 0, id, id FROM verts
             UNION ALL
@@ -597,11 +617,10 @@ def lpa_sql(clean: str, iters: int = LPA_ITERS) -> str:
                                PARTITION BY id ORDER BY cnt DESC, label ASC
                            ) AS rn
                     FROM (
-                        SELECT votes.id, votes.label, count(*) AS cnt FROM (
-                            SELECT n.v AS id, st.label
-                            FROM lab st JOIN nb n ON n.u = st.id
+                        SELECT votes.id, votes.label, {agg} AS cnt FROM (
+                            {nbr_vote}
                             UNION ALL
-                            SELECT st2.id, st2.label FROM lab st2
+                            {self_vote}
                         ) votes GROUP BY votes.id, votes.label
                     )
                 ) WHERE rn = 1

@@ -47,12 +47,22 @@ def label_propagation(
     fingerprint: str = "",
     stats: dict | None = None,
     scatter_engine: str = "jvm",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """edges DF[src,dst] -> DF[id, community(long)]."""
+    """edges DF[src,dst] -> DF[id, community(long)].
+
+    weight_col: edge weights (igraph's `weights=` arg) — a neighbor's
+    vote counts its edge weight instead of 1; the self-vote keeps
+    weight 1.0 so the weighted spec degrades to the unweighted one at
+    all-ones weights. With integer-valued weights the vote sums are
+    exact in doubles, so the DuckDB twin matches bit-for-bit."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id")
-    adj = pack_adjacency(edges, buckets=b, undirected=True).persist()
+    adj = pack_adjacency(
+        edges, buckets=b, undirected=True, weight_col=weight_col,
+        normalize_weights=False,
+    ).persist()
     mgr = CheckpointManager(
         checkpoint_dir, "lpa", spark,
         input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
@@ -69,19 +79,35 @@ def label_propagation(
         state = verts.select("id", F.col("id").alias("label")).repartition(b, "id")
 
     iterations = 0
+    adj_cols = ["src", "neighbors"] + (["wnorm"] if weight_col else [])
     for it in range(start_it, max_iter):
         # shuffle_hash hints + in-row prev label: same superstep plan
         # discipline as pagerank.py / components.py
-        joined = adj.select("src", "neighbors").join(
+        joined = adj.select(*adj_cols).join(
             state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
-        ).select("neighbors", "label")
-        msgs = scatter(joined, "label", engine=scatter_engine)  # (dst, label) per edge
-        self_votes = state.select(F.col("id").alias("dst"), "label")
-        votes = (
-            msgs.unionAll(self_votes)
-            .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
-        )
+        ).select(*(adj_cols[1:] + ["label"]))
+        if weight_col is None:
+            msgs = scatter(joined, "label", engine=scatter_engine)  # (dst, label)
+            self_votes = state.select(F.col("id").alias("dst"), "label")
+            votes = (
+                msgs.unionAll(self_votes)
+                .groupBy("dst", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+        else:
+            z = F.explode(F.arrays_zip("neighbors", "wnorm")).alias("z")
+            msgs = joined.select(z, "label").select(
+                F.col("z.neighbors").alias("dst"), "label",
+                F.col("z.wnorm").alias("w"),
+            )
+            self_votes = state.select(
+                F.col("id").alias("dst"), "label", F.lit(1.0).alias("w")
+            )
+            votes = (
+                msgs.unionAll(self_votes)
+                .groupBy("dst", "label")
+                .agg(F.sum("w").alias("cnt"))
+            )
         # majority pick as one hash agg: max(struct(cnt, -label)) ==
         # "highest count, ties -> minimum label" — replaces a window
         # row_number whose per-dst sort cost a full extra sort+shuffle

@@ -53,3 +53,59 @@ def test_isolate_keeps_own_community(spark):
     got = _run(spark, [(0, 1)], 3)
     assert got[2] not in (got[0],)
     assert got[0] == got[1]
+
+
+def test_weighted_all_ones_equals_unweighted(spark):
+    """weight_col with all-ones weights must reproduce the unweighted
+    labels exactly (the weighted spec degrades cleanly)."""
+    from pyspark.sql import functions as F
+
+    from tests.oracles import karate_edges
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, karate_edges())
+    ew = e.withColumn("weight", F.lit(1.0))
+    a = {r.id: r.community for r in label_propagation(e, checkpoint_mode="local").collect()}
+    b = {
+        r.id: r.community
+        for r in label_propagation(
+            ew, checkpoint_mode="local", weight_col="weight"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_votes_change_outcome_deterministically(spark):
+    """Weights must be able to flip the result (here the heavy bridge
+    couples its endpoints, which uniform weights never do on this
+    fixture), and the weighted run must be reproducible across
+    partitionings. Exact per-vertex values are pinned cross-engine by
+    the driver's lpa_weighted_communities oracle."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import edges_df
+
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 0), (4, 5), (5, 6), (4, 6), (3, 4)]
+    heavy = F.when(
+        (F.col("src") == 3) & (F.col("dst") == 4), F.lit(10.0)
+    ).otherwise(F.lit(1.0))
+
+    def run(df, **kw):
+        return {
+            r.id: r.community
+            for r in label_propagation(df, checkpoint_mode="local", **kw).collect()
+        }
+
+    base = edges_df(spark, pairs)
+    unw = run(base)
+    wtd = run(base.withColumn("weight", heavy), weight_col="weight")
+    wtd2 = run(
+        base.repartition(5).withColumn("weight", heavy), weight_col="weight"
+    )
+    assert wtd == wtd2  # deterministic at any partitioning
+    assert wtd != unw  # the heavy edge changed the partition
+    # the heavy bridge makes (3,4) swap labels every synchronous round
+    # (weight 10 dominates both directions), so the deterministic
+    # 20-round state leaves 3 in its own community — pin it exactly
+    assert wtd == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 2}
+    assert unw == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
