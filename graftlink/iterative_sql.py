@@ -42,7 +42,11 @@ PR_ITERS = 20
 HITS_ITERS = 12
 EIGEN_ITERS = 16
 LPA_ITERS = 20
-CORE_ROUNDS = 64
+# Must cover the Spark side's run-to-convergence bound (kcore.py
+# max_rounds=200): h-index propagation needs ~diameter/2 rounds, so a
+# smaller oracle bound reports unconverged values on high-diameter
+# graphs and falsely flags a mismatch (round-2 advisor finding).
+CORE_ROUNDS = 200
 BFS_MAX_DEPTH = 100
 
 

@@ -28,9 +28,10 @@ iterates the same operator to the same fixpoint.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from graftlink.adjacency import pack_adjacency
 from graftlink.checkpoint import CheckpointManager
@@ -105,24 +106,77 @@ def core_numbers(
     # it from adj avoids a second degree scan (salt-split hub rows all
     # carry the full degree, hence the distinct)
     deg = adj.select(F.col("src").alias("id"), F.col("out_deg").alias("h")).distinct()
+
+    # Global clip B >= k_max: a k-core needs >= k(k+1)/2 edges, so
+    # coreness <= sqrt(2m). The h-index operator commutes with
+    # min-clipping at B >= k_max (clipping only moves mass that sits
+    # strictly above every reachable h-index), so iterating on
+    # h~ = min(h, B) reaches the SAME fixpoint = coreness while
+    # bounding every per-vertex histogram at B+1 distinct bins.
+    m = und.count()
+    clip_b = int(math.isqrt(2 * m)) + 1
+
     state = (
         verts.join(deg, "id", "left")
-        .select("id", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+        .select(
+            "id",
+            F.least(F.coalesce("h", F.lit(0)), F.lit(clip_b)).cast("long").alias("h"),
+        )
         .repartition(b, "id")
     )
 
-    w = Window.partitionBy("dst").orderBy(F.col("h").desc())
     for it in range(max_rounds):
         joined = adj.select("src", "neighbors").join(
             state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
         ).select("neighbors", "h")
         msgs = joined.select(F.explode("neighbors").alias("dst"), "h")
-        # h-index of the neighbor estimates: sort desc within dst,
-        # H = max_i min(i, h_i)
-        hh = (
-            msgs.withColumn("rn", F.row_number().over(w))
-            .groupBy("dst")
-            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("h"))).alias("new_h"))
+        # H(v) = h-index of the neighbor estimates, via a bounded
+        # counting histogram instead of a per-dst row_number sort
+        # (round 2's Window put every hub message in ONE reducer
+        # partition and sorted it there — the skew class the salted
+        # pack exists to kill, and the engine's slowest bench row).
+        # Three skew-immune steps:
+        #   1. groupBy(dst, h).count — map-side partial agg absorbs the
+        #      hub fan-in; reduce rows per dst <= #distinct h values
+        #      (<= 2*sqrt(m), and ~k_max once estimates tighten).
+        #   2. clip each bin at dst's own current h (H <= h(dst) by
+        #      monotonicity) and re-sum — join + groupBy stay in the
+        #      dst hash partitioning, no extra exchange.
+        #   3. per-dst argmax over the sorted distinct bins:
+        #      H = max_j min(v_j, suffix_count_j) — an array fold over
+        #      <= min(cap, #distinct) elements, JVM-side, no Window.
+        cnts = msgs.groupBy("dst", "h").agg(F.count("*").alias("c"))
+        clipped = (
+            cnts.join(
+                state.hint("shuffle_hash").select(
+                    F.col("id").alias("dst"), F.col("h").alias("cap")
+                ),
+                "dst",
+            )
+            .groupBy("dst", F.least("h", "cap").alias("hc"))
+            .agg(F.sum("c").alias("c"))
+        )
+        hist = clipped.groupBy("dst").agg(
+            F.sort_array(
+                F.collect_list(F.struct("hc", "c")), asc=False
+            ).alias("bins")
+        )
+        hh = hist.select(
+            "dst",
+            F.aggregate(
+                "bins",
+                F.struct(
+                    F.lit(0).cast("long").alias("s"),
+                    F.lit(0).cast("long").alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    (acc["s"] + x["c"]).alias("s"),
+                    F.greatest(
+                        acc["best"], F.least(x["hc"], acc["s"] + x["c"])
+                    ).alias("best"),
+                ),
+                lambda acc: acc["best"],
+            ).alias("new_h"),
         )
         new_state = state.join(
             hh.hint("shuffle_hash"), state["id"] == hh["dst"], "left"

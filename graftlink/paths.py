@@ -315,10 +315,14 @@ def betweenness_from_sources(
     # ---- backward: delta by descending level ----
     # delta_v = sigma_v * sum_succ (1 + delta_w) / sigma_w — SAME fp
     # association as the SQL twin
-    deltas = visited.where(F.col("dist") == maxlvl).select(
+    # per-level delta frames accumulate in a Python list and union
+    # LAZILY at the end — checkpointing the growing union every level
+    # was O(levels) full rewrites (round-2 VERDICT wrong #4); only the
+    # per-level `acc` (next level's join input) needs materializing
+    acc = visited.where(F.col("dist") == maxlvl).select(
         "source", "id", "sigma", F.lit(0.0).alias("delta")
     )
-    acc = deltas
+    delta_parts = [acc]
     for lvl in range(maxlvl - 1, 0, -1):
         level_rows = visited.where(F.col("dist") == lvl)
         contrib = (
@@ -340,8 +344,11 @@ def betweenness_from_sources(
             )
             .localCheckpoint(eager=True)
         )
-        deltas = deltas.unionByName(acc).localCheckpoint(eager=True)
+        delta_parts.append(acc)
 
+    deltas = delta_parts[0]
+    for part in delta_parts[1:]:
+        deltas = deltas.unionByName(part)
     verts = (vertices or vertex_universe(edges)).select("id")
     bc = deltas.where(F.col("id") != F.col("source")).groupBy("id").agg(
         F.sum("delta").alias("_bc")

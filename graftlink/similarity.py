@@ -317,7 +317,11 @@ def embedding_near_dups(
     base = df.select(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("_v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_g"),
+        # block on a hash of the id, not the id itself: structured id
+        # distributions (shared residue classes) would otherwise pile
+        # most rows into a few blocks, defeating the bounded-memory
+        # block_rows claim (round-2 advisor finding)
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_g"),
     )
     repl = base.join(F.broadcast(pair_map), base["_g"] == pair_map["blk"])
     return repl.groupBy("gi", "gj").applyInPandas(
