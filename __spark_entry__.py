@@ -583,6 +583,16 @@ def _q_lpa_weighted(spark, sf_dir):
     )
 
 
+def _q_leiden(spark, sf_dir):
+    """Deterministic distributed Leiden (rows-only like Louvain: the
+    refinement + seeded-coarsening recursion is not SQL-expressible;
+    value gates = tests/test_louvain.py Leiden suite: connectivity,
+    modularity >= Louvain, determinism)."""
+    from graftlink.louvain import leiden_communities
+
+    return leiden_communities(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_louvain(spark, sf_dir):
     """Deterministic parallel Louvain (rows-only: the modularity-gain
     argmax + coarsening recursion is not reasonably SQL-expressible;
@@ -626,7 +636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "latest_event_per_user": _q_latest_event_per_user,
         "exact_dedup_docs": _q_exact_dedup_docs,
-        "lang_stats": _q_lang_stats,
         # training-data pipeline layer
         "token_stats_full": _q_token_stats_full,
         "quality_scores": _q_quality_scores,
@@ -662,11 +671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sources": _q_closeness,
         "betweenness_sources": _q_betweenness,
         "louvain_communities": _q_louvain,
+        "leiden_communities": _q_leiden,
         "pseudo_diameter": _q_pseudo_diameter,
         "eccentricity_harmonic": _q_ecc_harmonic,
         # ---- tail: variants subsumed by earlier green queries (see
         # ordering note above); verified via tools/driver_check.py ----
         "wedge_count": _q_wedge_count,
+        "lang_stats": _q_lang_stats,
         "doc_token_stats": _q_doc_token_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,

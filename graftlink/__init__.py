@@ -27,7 +27,7 @@ from graftlink.components import connected_components
 from graftlink.kcore import core_numbers, k_core
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
-from graftlink.louvain import louvain_communities, modularity
+from graftlink.louvain import leiden_communities, louvain_communities, modularity
 from graftlink.paths import (
     betweenness_from_sources,
     bfs_distances,
@@ -61,6 +61,7 @@ __all__ = [
     "betweenness_from_sources",
     "eccentricity_harmonic_from_sources",
     "pseudo_diameter",
+    "leiden_communities",
     "louvain_communities",
     "modularity",
     "hits",

@@ -108,7 +108,10 @@ def pack_adjacency(
                 F.count("*").alias("_cnt"),
                 F.first("_deg").alias("_hdeg"),
             )
-            .join(wsum_full, "src")
+            # shuffle_hash: SMJ would SORT the packed array rows; the
+            # hashed build side is the tiny per-src (src, wsum) frame.
+            # Only already-packed rows move here, never raw edges.
+            .join(wsum_full.hint("shuffle_hash"), "src")
             .select(
                 "src",
                 F.transform("_nb", lambda s: s["dst"]).alias("neighbors"),

@@ -135,30 +135,23 @@ def core_numbers(
         # (round 2's Window put every hub message in ONE reducer
         # partition and sorted it there — the skew class the salted
         # pack exists to kill, and the engine's slowest bench row).
-        # Three skew-immune steps:
+        # Two skew-immune steps:
         #   1. groupBy(dst, h).count — map-side partial agg absorbs the
-        #      hub fan-in; reduce rows per dst <= #distinct h values
-        #      (<= 2*sqrt(m), and ~k_max once estimates tighten).
-        #   2. clip each bin at dst's own current h (H <= h(dst) by
-        #      monotonicity) and re-sum — join + groupBy stay in the
-        #      dst hash partitioning, no extra exchange.
-        #   3. per-dst argmax over the sorted distinct bins:
+        #      hub fan-in; rows per dst <= min(deg, #distinct h) and
+        #      #distinct h <= 2*sqrt(m) globally (sum of d distinct
+        #      degree values >= d(d+1)/2), collapsing toward ~k_max as
+        #      the estimates tighten. The global clip_b init bounds
+        #      every bin value at sqrt(2m)+1.
+        #   2. per-dst argmax over the sorted distinct bins:
         #      H = max_j min(v_j, suffix_count_j) — an array fold over
-        #      <= min(cap, #distinct) elements, JVM-side, no Window.
+        #      the bins, JVM-side, no Window. (No per-dst value clip:
+        #      H <= current h(dst) already holds by the monotone
+        #      decrease of the h-sequence, so clipping bins at h(dst)
+        #      cannot change H — it would only add a join per round.)
         cnts = msgs.groupBy("dst", "h").agg(F.count("*").alias("c"))
-        clipped = (
-            cnts.join(
-                state.hint("shuffle_hash").select(
-                    F.col("id").alias("dst"), F.col("h").alias("cap")
-                ),
-                "dst",
-            )
-            .groupBy("dst", F.least("h", "cap").alias("hc"))
-            .agg(F.sum("c").alias("c"))
-        )
-        hist = clipped.groupBy("dst").agg(
+        hist = cnts.groupBy("dst").agg(
             F.sort_array(
-                F.collect_list(F.struct("hc", "c")), asc=False
+                F.collect_list(F.struct(F.col("h").alias("hc"), "c")), asc=False
             ).alias("bins")
         )
         hh = hist.select(

@@ -86,16 +86,10 @@ def modularity(edges: DataFrame, communities: DataFrame, gamma: float = 1.0) -> 
     return internal / m2 - gamma * tot / (m2 * m2)
 
 
-def _move_phase(
-    wedges: DataFrame, gamma: float, max_rounds: int, m2: float
-) -> DataFrame:
-    """One Louvain level over weighted edges DF[a, b, w] (self-loops
-    allowed = coarsened internal weight). Returns DF[id, c].
-
-    Per round: ONE materialization job (persist + changed-count agg
-    via CheckpointManager.save, the engine-standard superstep
-    discipline) — the gain plan is never executed twice."""
-    from graftlink.checkpoint import CheckpointManager
+def _sym_deg(wedges: DataFrame):
+    """(sym, deg): symmetrized no-self-loop edge view DF[u, v, w] and
+    full weighted degree DF[id, k] (self-loops count twice, standard
+    convention). Both checkpointed."""
     sym = wedges.where(F.col("a") != F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v"), "w"
     ).unionAll(
@@ -106,7 +100,6 @@ def _move_phase(
     selfw = wedges.where(F.col("a") == F.col("b")).select(
         F.col("a").alias("id"), (F.col("w") * 2).alias("sw")
     )
-    # k_i includes self-loop weight (counts twice, standard convention)
     deg = (
         sym.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("k"))
         .join(selfw, "id", "outer")
@@ -116,7 +109,36 @@ def _move_phase(
         )
         .localCheckpoint(eager=True)
     )
-    comm = deg.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    return sym, deg
+
+
+def _move_phase(
+    wedges: DataFrame,
+    gamma: float,
+    max_rounds: int,
+    m2: float,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """One Louvain level over weighted edges DF[a, b, w] (self-loops
+    allowed = coarsened internal weight). Returns DF[id, c].
+
+    `init` (DF[id, c], optional) seeds the partition instead of
+    singletons — Leiden's aggregate level starts from the previous
+    level's move-phase partition expressed on the refined
+    super-vertices, so communities keep merging across levels.
+
+    Per round: ONE materialization job (persist + changed-count agg
+    via CheckpointManager.save, the engine-standard superstep
+    discipline) — the gain plan is never executed twice."""
+    from graftlink.checkpoint import CheckpointManager
+    sym, deg = _sym_deg(wedges)
+    if init is None:
+        comm = deg.select("id", F.col("id").alias("c"))
+    else:
+        comm = deg.join(init, "id", "left").select(
+            "id", F.coalesce("c", F.col("id")).alias("c")
+        )
+    comm = comm.localCheckpoint(eager=True)
     mgr = CheckpointManager(
         None, "louvain", wedges.sparkSession, mode="local", truncate_every=1
     )
@@ -225,6 +247,182 @@ def _move_phase(
             break
     comm = mgr.finalize(comm)
     return comm
+
+
+def _refine_phase(
+    wedges: DataFrame, P: DataFrame, gamma: float, max_rounds: int, m2: float
+) -> DataFrame:
+    """Leiden refinement (Traag/Waltman/van Eck 2019 §'refinement
+    phase', igraph_community_leiden — igraph@0.10.x
+    src/community/leiden.c [public anchor; NOT a port — the sequential
+    queue there doesn't distribute]): rebuild every move-phase
+    community of `P` (DF[id, c]) from singletons by merging ONLY along
+    intra-community edges. Deterministic distributed variant of the
+    paper's randomized merge:
+
+    - only vertices still SINGLETON in the refined partition may move
+      (communities only grow -> termination), to the max-gain
+      (ties -> min id) neighbor refined community inside their own
+      P-community, and only with positive internal weight kin > 0;
+    - Grappolo-style local-maxima acceptance among adjacent movers
+      (same rule as the move phase) -> no two adjacent vertices move
+      in the same round, no RNG, partitioning-independent.
+
+    Every accepted merge follows an edge with kin > 0 into the target,
+    so each refined community is internally CONNECTED — the Leiden
+    guarantee plain Louvain lacks. Returns DF[id, c] refining P."""
+    from graftlink.checkpoint import CheckpointManager
+
+    sym, deg = _sym_deg(wedges)
+    pc_u = P.select(F.col("id").alias("u"), F.col("c").alias("_pu"))
+    pc_v = P.select(F.col("id").alias("v"), F.col("c").alias("_pv"))
+    sym_c = (
+        sym.join(pc_u, "u").join(pc_v, "v")
+        .where(F.col("_pu") == F.col("_pv"))
+        .select("u", "v", "w")
+        .localCheckpoint(eager=True)
+    )
+    comm = deg.select("id", F.col("id").alias("c")).localCheckpoint(eager=True)
+    mgr = CheckpointManager(
+        None, "leiden-refine", wedges.sparkSession, mode="local", truncate_every=1
+    )
+    for rnd in range(max_rounds):
+        ctot = comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("ktot"))
+        singles = (
+            comm.groupBy("c").agg(F.count("*").alias("_n"), F.min("id").alias("id"))
+            .where(F.col("_n") == 1)
+            .select("id")
+        )
+        kic = (
+            sym_c.join(
+                comm.withColumnRenamed("id", "v").withColumnRenamed("c", "nc"), "v"
+            )
+            .groupBy(F.col("u").alias("id"), "nc")
+            .agg(F.sum("w").alias("kin"))
+        )
+        movers = (
+            singles.join(comm, "id").join(deg, "id")
+            .join(kic, "id")
+            .where(F.col("nc") != F.col("c"))
+            .join(ctot.withColumnRenamed("c", "nc"), "nc")
+            .select(
+                "id", "nc",
+                (
+                    F.col("kin")
+                    - F.lit(gamma) * F.col("k") * F.col("ktot") / F.lit(m2)
+                ).alias("gain"),
+            )
+            .where(F.col("gain") > F.lit(1e-12))
+            .groupBy("id")
+            .agg(F.max(F.struct(F.col("gain"), (-F.col("nc")).alias("_nn"))).alias("_m"))
+            .select(
+                "id",
+                (-F.col("_m._nn")).alias("best_c"),
+                F.col("_m.gain").alias("mgain"),
+            )
+        )
+        nbr_best = (
+            sym_c.select("u", "v")
+            .join(
+                movers.select(
+                    F.col("id").alias("v"),
+                    F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.max("_ns").alias("_nb"))
+        )
+        accepted = (
+            movers.join(nbr_best, "id", "left")
+            .where(
+                F.col("_nb").isNull()
+                | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
+            )
+            .select("id", "best_c")
+        )
+        moved = comm.join(accepted, "id", "left").select(
+            "id", F.coalesce("best_c", F.col("c")).alias("c"), F.col("c").alias("prev")
+        )
+        new_comm, row = mgr.save(
+            moved, rnd, "id", counters={"round": rnd},
+            stats_cols=[
+                F.sum((F.col("c") != F.col("prev")).cast("long")).alias("changed")
+            ],
+        )
+        comm = new_comm.select("id", "c")
+        if not row["changed"]:
+            break
+    return mgr.finalize(comm)
+
+
+def leiden_communities(
+    edges: DataFrame,
+    gamma: float = 1.0,
+    levels: int = 5,
+    max_rounds: int = 20,
+    renumber: bool = True,
+) -> DataFrame:
+    """edges DF[src,dst] -> DF[id, community] via deterministic
+    distributed Leiden: Louvain move phase + singleton-merge
+    refinement, coarsening on the REFINED partition while seeding the
+    next move phase with the coarse partition (the paper's structure).
+    Returned communities are the move-phase partition (composed down
+    to original vertices); the refinement only controls aggregation,
+    which is what guarantees internally-connected communities."""
+    wedges = _und_weighted(edges).localCheckpoint(eager=True)
+    m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
+
+    mapping = None  # original id -> current-level vertex
+    flat = None     # original id -> move-phase community (the result)
+    init = None     # current-level seed partition (previous P)
+    for _ in range(levels):
+        P = _move_phase(wedges, gamma, max_rounds, m2, init=init)
+        R = _refine_phase(wedges, P, gamma, max_rounds, m2)
+        if mapping is None:
+            flat = P.select("id", F.col("c").alias("label"))
+            mapping = R.select("id", F.col("c").alias("sv"))
+        else:
+            flat = mapping.join(P.withColumnRenamed("id", "sv"), "sv").select(
+                "id", F.col("c").alias("label")
+            )
+            mapping = mapping.join(R.withColumnRenamed("id", "sv"), "sv").select(
+                "id", F.col("c").alias("sv")
+            )
+        flat = flat.localCheckpoint(eager=True)
+        mapping = mapping.localCheckpoint(eager=True)
+        n_vert = R.count()
+        n_ref = R.select("c").distinct().count()
+        if n_ref == n_vert:
+            break
+        ca = R.withColumnRenamed("id", "a").withColumnRenamed("c", "sa")
+        cb = R.withColumnRenamed("id", "b").withColumnRenamed("c", "sb")
+        wedges = (
+            wedges.join(ca, "a").join(cb, "b")
+            .select(
+                F.least("sa", "sb").alias("a"),
+                F.greatest("sa", "sb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        # seed the next level with the move-phase partition expressed
+        # on the refined super-vertices (each refined community lies
+        # inside exactly one P community)
+        init = (
+            R.join(P.withColumnRenamed("c", "_pc"), "id")
+            .select(F.col("c").alias("id"), F.col("_pc").alias("c"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    labels = flat
+    if renumber:
+        mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
+        labels = labels.join(mm, "label").select("id", F.col("_mm").alias("label"))
+        return _renumber(labels).withColumnRenamed("component", "community")
+    return labels.select("id", F.col("label").alias("community"))
 
 
 def louvain_communities(

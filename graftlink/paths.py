@@ -113,22 +113,41 @@ def multi_source_bfs(
     max_depth: int = 100,
     directed: bool = True,
     buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """DF[source, id, dist] — hop distances from every source in ONE
-    superstep loop (k waves share each round's join + shuffle)."""
+    superstep loop (k waves share each round's join + shuffle).
+    With `checkpoint_dir`, every depth's visited set is durably
+    checkpointed with lineage (north-rule resume contract); pass
+    resume=True + the same input fingerprint to continue a killed
+    run from its last completed depth."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint(eager=True)
-    mgr = CheckpointManager(None, "msbfs", spark, mode="local", buckets=b)
+    mgr = CheckpointManager(
+        checkpoint_dir, "msbfs", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
+    )
 
-    visited = spark.createDataFrame(
-        [(s, s, 0) for s in sources], "source long, id long, dist int"
-    ).repartition(b, "id")
-    frontier = visited
-    for depth in range(1, max_depth + 1):
+    start_depth = 1
+    visited = None
+    if resume:
+        found = mgr.latest()
+        if found is not None:
+            start_depth = found[0] + 1
+            visited = mgr.load(found[0], "id")
+    if visited is None:
+        visited = spark.createDataFrame(
+            [(s, s, 0) for s in sources], "source long, id long, dist int"
+        ).repartition(b, "id")
+    frontier = visited.where(F.col("dist") == start_depth - 1)
+    for depth in range(start_depth, max_depth + 1):
         nxt = (
             e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
             .select("source", F.col("dst").alias("id"))
@@ -155,22 +174,44 @@ def sssp_weighted(
     weight_col: str = "weight",
     max_iter: int = 200,
     buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """DF[id, dist double] — single-source shortest paths with
     non-negative edge weights (Bellman-Ford supersteps, delta
-    frontier). Unreachable vertices are absent."""
+    frontier). Unreachable vertices are absent. With
+    `checkpoint_dir`, per-iteration durable state (the saved frame
+    carries `_old`, so the delta frontier is reconstructible);
+    resume=True continues a killed run."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("_w")
     ).localCheckpoint(eager=True)
-    mgr = CheckpointManager(None, "sssp", spark, mode="local", buckets=b)
-
-    state = spark.createDataFrame([(source, 0.0)], "id long, dist double").repartition(
-        b, "id"
+    mgr = CheckpointManager(
+        checkpoint_dir, "sssp", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
     )
-    frontier = state
-    for it in range(max_iter):
+
+    start_it = 0
+    state = frontier = None
+    if resume:
+        found = mgr.latest()
+        if found is not None:
+            start_it = found[0] + 1
+            merged = mgr.load(found[0], "id")
+            frontier = merged.where(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            ).select("id", "dist")
+            state = merged.select("id", "dist")
+    if state is None:
+        state = spark.createDataFrame(
+            [(source, 0.0)], "id long, dist double"
+        ).repartition(b, "id")
+        frontier = state
+    for it in range(start_it, max_iter):
         relax = (
             e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("_w")).alias("nd"))
@@ -209,26 +250,48 @@ def sssp_weighted(
     return result
 
 
+def _mode_edges(edges: DataFrame, mode: str) -> tuple[DataFrame, bool]:
+    """igraph mode= handling: OUT follows edges, IN reverses them,
+    ALL ignores direction. Returns (edge view, directed flag)."""
+    if mode == "out":
+        return edges, True
+    if mode == "in":
+        return (
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            True,
+        )
+    if mode == "all":
+        return edges, False
+    raise ValueError(f"mode must be 'out'|'in'|'all', got {mode!r}")
+
+
 def closeness_from_sources(
     edges: DataFrame,
     sources: list[int],
     directed: bool = True,
+    mode: str = "out",
+    normalized: bool = True,
     buckets: int | None = None,
 ) -> DataFrame:
-    """DF[id, closeness] for each source: (reached-1)/sum(dist) over
-    vertices reachable from it (igraph_closeness OUT mode, unreachable
-    excluded). A k-sample of sources is the standard estimator at
-    k/n of the all-pairs cost."""
-    d = multi_source_bfs(edges, sources, directed=directed, buckets=buckets)
+    """DF[id, closeness] for each source, unreachable vertices
+    excluded (igraph_closeness semantics). normalized=True (default,
+    igraph's default) is (reached-1)/sum(dist) — the inverse average
+    distance; normalized=False is igraph's raw 1/sum(dist).
+    mode follows igraph's IGRAPH_OUT / IGRAPH_IN / IGRAPH_ALL
+    (directed=False forces ALL). A k-sample of sources is the
+    standard estimator at k/n of the all-pairs cost."""
+    if not directed:
+        mode = "all"
+    e, dirflag = _mode_edges(edges, mode)
+    d = multi_source_bfs(e, sources, directed=dirflag, buckets=buckets)
+    num = (F.col("_r") - 1) if normalized else F.lit(1.0)
     return (
         d.groupBy(F.col("source").alias("id"))
         .agg(F.count("*").alias("_r"), F.sum("dist").alias("_s"))
         .select(
             "id",
             F.round(
-                F.when(F.col("_s") > 0, (F.col("_r") - 1) / F.col("_s")).otherwise(
-                    F.lit(0.0)
-                ),
+                F.when(F.col("_s") > 0, num / F.col("_s")).otherwise(F.lit(0.0)),
                 6,
             ).alias("closeness"),
         )
@@ -239,21 +302,30 @@ def eccentricity_harmonic_from_sources(
     edges: DataFrame,
     sources: list[int],
     directed: bool = True,
+    mode: str = "out",
+    normalized: bool = False,
     buckets: int | None = None,
 ) -> DataFrame:
     """DF[id, eccentricity, harmonic] per source — igraph_eccentricity
-    and igraph_harmonic_centrality (OUT mode, unnormalized: sum of
-    1/d over reachable t != s) for the sampled sources, from ONE
-    batched BFS."""
-    d = multi_source_bfs(edges, sources, directed=directed, buckets=buckets)
+    and igraph_harmonic_centrality (sum of 1/d over reachable t != s;
+    normalized=True divides by n-1, igraph's normalized form) for the
+    sampled sources, from ONE batched BFS. mode follows igraph's
+    IGRAPH_OUT / IGRAPH_IN / IGRAPH_ALL (directed=False forces ALL)."""
+    from graftlink.vertices import vertex_universe
+
+    if not directed:
+        mode = "all"
+    e, dirflag = _mode_edges(edges, mode)
+    d = multi_source_bfs(e, sources, directed=dirflag, buckets=buckets)
+    h = F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")))
+    if normalized:
+        n = vertex_universe(edges).count()
+        h = h / F.lit(max(n - 1, 1))
     return (
         d.groupBy(F.col("source").alias("id"))
         .agg(
             F.max("dist").cast("int").alias("eccentricity"),
-            F.round(
-                F.sum(F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist"))),
-                6,
-            ).alias("harmonic"),
+            F.round(h, 6).alias("harmonic"),
         )
     )
 
@@ -264,12 +336,21 @@ def betweenness_from_sources(
     vertices: DataFrame | None = None,
     directed: bool = True,
     max_depth: int = 100,
+    rescale: bool = False,
+    normalized: bool = False,
     buckets: int | None = None,
 ) -> DataFrame:
     """DF[id, betweenness] — Brandes dependency accumulation over the
     shortest-path DAGs of the given sources (exact betweenness when
-    sources = all vertices; an unbiased k-sample estimator otherwise,
-    Brandes-Pich 2007 without rescaling).
+    sources = all vertices; an unbiased k-sample estimator otherwise).
+
+    rescale=True multiplies by n/k — the Brandes-Pich 2007 estimator
+    scaling, so a k-source sample estimates the full-graph value.
+    normalized=True divides by (n-1)(n-2) — igraph's directed
+    normalization; with this engine's symmetrized undirected
+    accumulation (each unordered pair counted in both directions) the
+    same divisor reproduces igraph/networkx undirected normalized
+    values too.
 
     Batched: ALL sources run in one forward loop (state keyed
     (source, id)) and one backward loop over levels, so the superstep
@@ -350,9 +431,19 @@ def betweenness_from_sources(
     for part in delta_parts[1:]:
         deltas = deltas.unionByName(part)
     verts = (vertices or vertex_universe(edges)).select("id")
+    factor = 1.0
+    if rescale or normalized:
+        n = verts.count()
+        if rescale and sources:
+            factor *= n / len(sources)
+        if normalized and n > 2:
+            factor /= (n - 1) * (n - 2)
     bc = deltas.where(F.col("id") != F.col("source")).groupBy("id").agg(
         F.sum("delta").alias("_bc")
     )
     return verts.join(bc, "id", "left").select(
-        "id", F.round(F.coalesce("_bc", F.lit(0.0)), 6).alias("betweenness")
+        "id",
+        F.round(F.coalesce("_bc", F.lit(0.0)) * F.lit(factor), 6).alias(
+            "betweenness"
+        ),
     )

@@ -56,18 +56,40 @@ def strongly_connected_components(
     max_outer: int = 50,
     max_inner: int = 200,
     renumber: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
-    """edges DF[src,dst] -> DF[id, component] (strong components)."""
+    """edges DF[src,dst] -> DF[id, component] (strong components).
+
+    With `checkpoint_dir`, the (residual vertices, residual edges,
+    assigned labels) triple is durably checkpointed after every OUTER
+    round — each outer round is dozens of inner supersteps, so
+    outer-round granularity bounds re-work after a kill at <= one
+    round while writing O(residual) not O(supersteps) state.
+    resume=True restarts from the last completed round whose three
+    frames all landed (the save order makes the assigned frame land
+    last, so a common round implies a consistent triple)."""
+    from graftlink.checkpoint import CheckpointManager
+
     spark = edges.sparkSession
-    verts = (
-        (vertices or vertex_universe(edges)).select("id").localCheckpoint(eager=True)
+    durable = checkpoint_dir is not None
+    mgr_v = CheckpointManager(
+        checkpoint_dir, "scc-verts", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode,
     )
-    e = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    mgr_e = CheckpointManager(
+        checkpoint_dir, "scc-edges", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode,
     )
+    mgr_a = CheckpointManager(
+        checkpoint_dir, "scc-assigned", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode,
+    )
+
+    start_round = 0
+    verts = e = None
     # Assigned SCCs accumulate as a Python list of (already
     # materialized) per-phase frames, unioned LAZILY at exit — round 2
     # rewrote the growing union through localCheckpoint every trim
@@ -76,8 +98,27 @@ def strongly_connected_components(
     # #4). Each part's lineage bottoms out in checkpointed frames, so
     # the deferred union is shallow.
     assigned_parts: list[DataFrame] = []
+    if resume and durable:
+        fv, fe, fa = mgr_v.latest(), mgr_e.latest(), mgr_a.latest()
+        if fv is not None and fe is not None and fa is not None:
+            rnd = min(fv[0], fe[0], fa[0])
+            verts = mgr_v.load(rnd, "id").localCheckpoint(eager=True)
+            e = mgr_e.load(rnd, "src").localCheckpoint(eager=True)
+            assigned_parts = [mgr_a.load(rnd, "id").localCheckpoint(eager=True)]
+            start_round = rnd + 1
+    if verts is None:
+        verts = (
+            (vertices or vertex_universe(edges)).select("id")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
-    for _ in range(max_outer):
+    for outer_round in range(start_round, max_outer):
         if verts.isEmpty():
             break
         # --- 1. trim singleton SCCs (in-deg 0 or out-deg 0) ---
@@ -151,6 +192,16 @@ def strongly_connected_components(
             .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+        if durable:
+            counters = {"outer_round": outer_round}
+            verts = mgr_v.save(verts, outer_round, "id", counters=counters)
+            e = mgr_e.save(e, outer_round, "src", counters=counters)
+            assigned_sofar = assigned_parts[0]
+            for part in assigned_parts[1:]:
+                assigned_sofar = assigned_sofar.unionByName(part)
+            assigned_parts = [
+                mgr_a.save(assigned_sofar, outer_round, "id", counters=counters)
+            ]
 
     # max_outer exhausted with vertices unassigned (a >max_outer chain
     # of SCCs retiring one color class per round) must surface as an

@@ -144,3 +144,102 @@ def test_eccentricity_harmonic_vs_networkx(spark):
         harm = sum(1.0 / v for v in d.values() if v > 0)
         assert got[s][0] == ecc
         assert got[s][1] == round(harm, 6)
+
+
+# ---------------------------------------------------------------------------
+# round-3: igraph mode flags + normalization (VERDICT next #8)
+# ---------------------------------------------------------------------------
+
+
+def _digraph(pairs):
+    g = nx.DiGraph()
+    g.add_edges_from(pairs)
+    return g
+
+
+def test_closeness_mode_in_matches_networkx(spark):
+    """mode='in' = distances INTO the vertex — exactly networkx's
+    closeness_centrality convention (wf_improved=False ==
+    our normalized=True form (r-1)/sum d)."""
+    pairs = er_edges(40, 0.08, 31)
+    e = edges_df(spark, pairs)
+    g = _digraph(pairs)
+    srcs = sorted(g.nodes)
+    got = {
+        r.id: r.closeness
+        for r in closeness_from_sources(e, srcs, mode="in").collect()
+    }
+    want = nx.closeness_centrality(g, wf_improved=False)
+    for v in srcs:
+        assert abs(got[v] - round(want[v], 6)) < 1e-6, v
+
+
+def test_closeness_mode_all_and_raw(spark):
+    pairs = er_edges(40, 0.08, 32)
+    e = edges_df(spark, pairs)
+    g = nx.Graph(pairs)
+    srcs = sorted(g.nodes)
+    got = {
+        r.id: r.closeness
+        for r in closeness_from_sources(
+            e, srcs, mode="all", normalized=False
+        ).collect()
+    }
+    for v in srcs:
+        d = nx.single_source_shortest_path_length(g, v)
+        s = sum(d.values())
+        want = 1.0 / s if s > 0 else 0.0
+        assert abs(got[v] - round(want, 6)) < 1e-6, v
+
+
+def test_harmonic_normalized_and_mode_in(spark):
+    from graftlink.paths import eccentricity_harmonic_from_sources
+
+    pairs = er_edges(40, 0.08, 33)
+    e = edges_df(spark, pairs)
+    g = _digraph(pairs)
+    srcs = sorted(g.nodes)
+    n = g.number_of_nodes()
+    got = {
+        r.id: r.harmonic
+        for r in eccentricity_harmonic_from_sources(
+            e, srcs, mode="in", normalized=True
+        ).collect()
+    }
+    # networkx harmonic_centrality sums 1/d over INcoming distances
+    want = nx.harmonic_centrality(g)
+    for v in srcs:
+        assert abs((got[v] or 0.0) - round(want[v] / (n - 1), 6)) < 1e-6, v
+
+
+def test_betweenness_normalized_matches_networkx(spark):
+    pairs = er_edges(30, 0.1, 34)
+    e = edges_df(spark, pairs)
+    g = _digraph(pairs)
+    srcs = sorted(g.nodes)
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_from_sources(
+            e, srcs, normalized=True
+        ).collect()
+    }
+    want = nx.betweenness_centrality(g, normalized=True)
+    for v in srcs:
+        assert abs(got[v] - want[v]) < 1e-5, v
+
+
+def test_betweenness_rescale_is_n_over_k(spark):
+    pairs = er_edges(30, 0.1, 35)
+    e = edges_df(spark, pairs)
+    n = _digraph(pairs).number_of_nodes()
+    srcs = [0, 1, 2]
+    raw = {
+        r.id: r.betweenness
+        for r in betweenness_from_sources(e, srcs).collect()
+    }
+    scaled = {
+        r.id: r.betweenness
+        for r in betweenness_from_sources(e, srcs, rescale=True).collect()
+    }
+    for v in raw:
+        assert abs(scaled[v] - raw[v] * n / len(srcs)) < 1e-4, v
