@@ -129,7 +129,12 @@ def multi_source_bfs(
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    # packed adjacency, like bfs_distances: the cached hash(src, B)
+    # blocks + shuffle_hash hint keep the big side exchange- AND
+    # sort-free every depth (r3 — the previous localCheckpoint'ed
+    # long-form edge table lost its partitioning metadata, so every
+    # depth re-exchanged and SMJ-sorted all m edge rows)
+    adj = pack_adjacency(e.distinct(), buckets=b).persist()
     mgr = CheckpointManager(
         checkpoint_dir, "msbfs", spark,
         input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
@@ -149,10 +154,15 @@ def multi_source_bfs(
     frontier = visited.where(F.col("dist") == start_depth - 1)
     for depth in range(start_depth, max_depth + 1):
         nxt = (
-            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
-            .select("source", F.col("dst").alias("id"))
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"], "inner")
+            .select("source", F.explode("neighbors").alias("id"))
             .distinct()
-            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .join(
+                visited.select("source", "id").hint("shuffle_hash"),
+                ["source", "id"],
+                "left_anti",
+            )
             .withColumn("dist", F.lit(depth).cast("int"))
         )
         visited, row = mgr.save(
@@ -165,6 +175,7 @@ def multi_source_bfs(
             break
         frontier = visited.where(F.col("dist") == depth)
     result = mgr.finalize(visited.select("source", "id", "dist"))
+    adj.unpersist()
     return result
 
 
@@ -187,9 +198,12 @@ def sssp_weighted(
     resume=True continues a killed run."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist WITH hash(src, B) partitioning metadata (localCheckpoint
+    # drops it) so the per-round relax join never re-exchanges or
+    # sorts the edge table — only the delta frontier moves
     e = edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("_w")
-    ).localCheckpoint(eager=True)
+    ).repartition(b, "src").persist()
     mgr = CheckpointManager(
         checkpoint_dir, "sssp", spark,
         input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
@@ -220,7 +234,7 @@ def sssp_weighted(
         )
         merged = (
             state.withColumnRenamed("dist", "_old")
-            .join(relax, "id", "full_outer")
+            .join(relax.hint("shuffle_hash"), "id", "full_outer")
             .select(
                 "id",
                 F.least(
@@ -247,6 +261,7 @@ def sssp_weighted(
         if not row["improved"]:
             break
     result = mgr.finalize(state)
+    e.unpersist()
     return result
 
 
@@ -363,7 +378,13 @@ def betweenness_from_sources(
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    # two persisted co-partitioned views of the distinct edge set: the
+    # forward pass joins on src every level, the backward pass on dst
+    # — with hash(key, B) metadata kept by persist(), neither loop
+    # re-exchanges or sorts the m-sized side per level (r3; the
+    # localCheckpoint'ed frame forced an SMJ of all edges per level)
+    e = e.distinct().repartition(b, "src").persist()
+    e_by_dst = e.repartition(b, "dst").persist()
     mgr = CheckpointManager(None, "btw", spark, mode="local", buckets=b)
 
     # ---- forward: (source, id, dist, sigma) level-synchronous ----
@@ -378,7 +399,11 @@ def betweenness_from_sources(
             e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
             .groupBy("source", F.col("dst").alias("id"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .join(
+                visited.select("source", "id").hint("shuffle_hash"),
+                ["source", "id"],
+                "left_anti",
+            )
             .select("source", "id", F.lit(depth).cast("int").alias("dist"), "sigma")
         )
         visited, row = mgr.save(
@@ -407,18 +432,18 @@ def betweenness_from_sources(
     for lvl in range(maxlvl - 1, 0, -1):
         level_rows = visited.where(F.col("dist") == lvl)
         contrib = (
-            e.join(
+            e_by_dst.join(
                 acc.select(
                     "source", F.col("id").alias("dst"),
                     ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_t"),
-                ),
+                ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy("source", F.col("src").alias("id"))
             .agg(F.sum("_t").alias("_acc"))
         )
         acc = (
-            level_rows.join(contrib, ["source", "id"], "left")
+            level_rows.join(contrib.hint("shuffle_hash"), ["source", "id"], "left")
             .select(
                 "source", "id", "sigma",
                 (F.col("sigma") * F.coalesce("_acc", F.lit(0.0))).alias("delta"),
@@ -441,9 +466,12 @@ def betweenness_from_sources(
     bc = deltas.where(F.col("id") != F.col("source")).groupBy("id").agg(
         F.sum("delta").alias("_bc")
     )
-    return verts.join(bc, "id", "left").select(
+    out = verts.join(bc, "id", "left").select(
         "id",
         F.round(F.coalesce("_bc", F.lit(0.0)) * F.lit(factor), 6).alias(
             "betweenness"
         ),
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    e_by_dst.unpersist()
+    return out

@@ -223,3 +223,36 @@ def test_weighted_pack_plan_sort_free(spark):
     assert "BroadcastHashJoin" in plan  # heavy-src salt join
     assert "ShuffledHashJoin" in plan   # wsum join
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_path_family_supersteps_sort_free(spark):
+    """The msbfs / sssp / betweenness per-round joins (r3: packed
+    adjacency for msbfs, persisted hash(src,B)/hash(dst,B) edge views
+    for sssp and betweenness) must plan as ShuffledHashJoin — never
+    SortMergeJoin, which would re-sort the m-sized edge side every
+    depth/level (the round-2 localCheckpoint'ed edge frames lost their
+    partitioning metadata and did exactly that)."""
+    import graftlink.paths as gp
+
+    captured = []
+    orig = gp.CheckpointManager.save
+
+    def spy(self, df, *a, **k):
+        captured.append(plan_of(df))
+        return orig(self, df, *a, **k)
+
+    e = edges_df(spark, er_edges(70, 0.1, 7))
+    we = e.withColumn("w", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double"))
+    gp.CheckpointManager.save = spy
+    try:
+        gp.multi_source_bfs(e, sources=[0, 1], max_depth=3, buckets=4).count()
+        n_msbfs = len(captured)
+        gp.sssp_weighted(we, source=0, weight_col="w", max_iter=3, buckets=4).count()
+        n_sssp = len(captured)
+        gp.betweenness_from_sources(e, sources=[0, 1], buckets=4).count()
+    finally:
+        gp.CheckpointManager.save = orig
+    assert n_msbfs >= 1 and n_sssp > n_msbfs and len(captured) > n_sssp
+    for plan in captured:
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" in plan

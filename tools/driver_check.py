@@ -15,6 +15,8 @@ Usage: python tools/driver_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -72,6 +74,7 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,16 +85,22 @@ def main():
         except Exception as exc:
             print(f"  {name}: SPARK ERROR {exc}")
             failures.append(name)
+            results[name] = {"err": f"spark: {exc}"}
             continue
         elapsed = time.monotonic() - t0
         if name not in oracles:
             print(f"  {name}: rows-only {len(spdf)} rows ({elapsed:.1f}s)")
+            results[name] = {
+                "rows_only": True, "spark_rows": len(spdf), "err": None,
+                "secs": round(elapsed, 1),
+            }
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"  {name}: ORACLE ERROR {exc}")
             failures.append(name)
+            results[name] = {"err": f"oracle: {exc}"}
             continue
         ok_count = len(spdf) == len(opdf)
         ok_schema = sorted(spdf.columns) == sorted(opdf.columns)
@@ -101,11 +110,17 @@ def main():
         except Exception as exc:
             print(f"  {name}: CANON ERROR {exc}")
             failures.append(name)
+            results[name] = {"err": f"canon: {exc}"}
             continue
         status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
         print(f"  {name}: {status} rows {len(spdf)}/{len(opdf)} "
               f"schema {list(spdf.columns)}/{list(opdf.columns)} "
               f"hash {sh}/{oh} ({elapsed:.1f}s)")
+        results[name] = {
+            "rows_match": ok_count, "schema_match": ok_schema,
+            "hash_match": ok_hash, "spark_rows": len(spdf),
+            "oracle_rows": len(opdf), "err": None, "secs": round(elapsed, 1),
+        }
         if status == "FAIL":
             failures.append(name)
             srows = {tuple(map(str, r)) for r in spdf.itertuples(index=False)}
@@ -114,6 +129,11 @@ def main():
                 print("    spark-only:", x)
             for x in list(orows - srows)[:3]:
                 print("    oracle-only:", x)
+    json_out = os.environ.get("GRAFTLINK_CHECK_JSON")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     print("FAILURES:" if failures else "ALL OK", failures or "")
     sys.exit(1 if failures else 0)
 
