@@ -593,6 +593,17 @@ def _q_leiden(spark, sf_dir):
     return leiden_communities(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_infomap(spark, sf_dir):
+    """Deterministic distributed Infomap (rows-only like Louvain: the
+    map-equation delta argmax + coarsening recursion is not
+    SQL-expressible; value gates = tests/test_infomap.py: exact module
+    recovery on planted fixtures, codelength vs numpy oracle,
+    determinism across partitionings)."""
+    from graftlink.infomap import infomap_communities
+
+    return infomap_communities(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_louvain(spark, sf_dir):
     """Deterministic parallel Louvain (rows-only: the modularity-gain
     argmax + coarsening recursion is not reasonably SQL-expressible;
@@ -672,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sources": _q_betweenness,
         "louvain_communities": _q_louvain,
         "leiden_communities": _q_leiden,
+        "infomap_communities": _q_infomap,
         "pseudo_diameter": _q_pseudo_diameter,
         "eccentricity_harmonic": _q_ecc_harmonic,
         # ---- tail: variants subsumed by earlier green queries (see

@@ -27,6 +27,7 @@ from graftlink.components import connected_components
 from graftlink.kcore import core_numbers, k_core
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
+from graftlink.infomap import codelength, infomap_communities
 from graftlink.louvain import leiden_communities, louvain_communities, modularity
 from graftlink.paths import (
     betweenness_from_sources,
@@ -62,6 +63,8 @@ __all__ = [
     "eccentricity_harmonic_from_sources",
     "pseudo_diameter",
     "leiden_communities",
+    "infomap_communities",
+    "codelength",
     "louvain_communities",
     "modularity",
     "hits",
