@@ -604,6 +604,17 @@ def _q_infomap(spark, sf_dir):
     return infomap_communities(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_walktrap(spark, sf_dir):
+    """Deterministic distributed walktrap (rows-only like Louvain:
+    the reciprocal-NN Ward agglomeration is not SQL-expressible;
+    value gates = tests/test_walktrap.py: partition parity vs a numpy
+    twin of the same spec, planted recovery, modularity floor,
+    determinism)."""
+    from graftlink.walktrap import walktrap_communities
+
+    return walktrap_communities(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_louvain(spark, sf_dir):
     """Deterministic parallel Louvain (rows-only: the modularity-gain
     argmax + coarsening recursion is not reasonably SQL-expressible;
@@ -684,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities": _q_louvain,
         "leiden_communities": _q_leiden,
         "infomap_communities": _q_infomap,
+        "walktrap_communities": _q_walktrap,
         "pseudo_diameter": _q_pseudo_diameter,
         "eccentricity_harmonic": _q_ecc_harmonic,
         # ---- tail: variants subsumed by earlier green queries (see

@@ -28,6 +28,7 @@ from graftlink.kcore import core_numbers, k_core
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
 from graftlink.infomap import codelength, infomap_communities
+from graftlink.walktrap import walktrap_communities
 from graftlink.louvain import leiden_communities, louvain_communities, modularity
 from graftlink.paths import (
     betweenness_from_sources,
@@ -64,6 +65,7 @@ __all__ = [
     "pseudo_diameter",
     "leiden_communities",
     "infomap_communities",
+    "walktrap_communities",
     "codelength",
     "louvain_communities",
     "modularity",
