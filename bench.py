@@ -229,6 +229,22 @@ def main():
     queries["louvain_2lvl_8rnd"] = round(time.monotonic() - t0, 2)
     log(f"louvain: {n_comm + 1} communities {queries['louvain_2lvl_8rnd']}s")
 
+    # round-3 operator: Infomap, same bounded-rounds discipline as the
+    # Louvain row (per-round cost is the honest signal; full-default
+    # runs to convergence). Walktrap is deliberately NOT benched at
+    # this scale: it is Theta(mn) by algorithm (declared envelope in
+    # graftlink/walktrap.py) — its sf0.01 driver-check wall is the
+    # recorded figure.
+    from graftlink.infomap import infomap_communities
+
+    t0 = time.monotonic()
+    n_mod = (
+        infomap_communities(edges, levels=2, max_rounds=8)
+        .agg(F.max("community")).collect()[0][0]
+    )
+    queries["infomap_2lvl_8rnd"] = round(time.monotonic() - t0, 2)
+    log(f"infomap: {n_mod + 1} modules {queries['infomap_2lvl_8rnd']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -297,6 +313,11 @@ def main():
             f"{queries['louvain_2lvl_8rnd']} s "
             f"({n_comm + 1:,} communities; full-default run: ~476 s, "
             f"~60 move rounds) | local[{CPUS}] |\n"
+            f"| Infomap (bounded: 2 levels x 8 rounds) | "
+            f"{queries['infomap_2lvl_8rnd']} s "
+            f"({n_mod + 1:,} modules; walktrap not benched here — "
+            f"Theta(mn) by algorithm, envelope declared in "
+            f"graftlink/walktrap.py) | local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
             f"| cosine top-k (Arrow matmul) | {queries['cosine_topk_arrow']} s "
