@@ -24,7 +24,16 @@ algorithms and validated against numpy/networkx oracles).
 
 from graftlink.adjacency import pack_adjacency
 from graftlink.components import connected_components
+from graftlink.dag import is_dag, topo_levels
 from graftlink.kcore import core_numbers, k_core
+from graftlink.linkpred import (
+    avg_neighbor_degree,
+    bibcoupling,
+    cocitation,
+    dice_similarity,
+    inverse_log_weighted_similarity,
+    knnk,
+)
 from graftlink.lpa import label_propagation
 from graftlink.pagerank import pagerank
 from graftlink.infomap import codelength, infomap_communities
@@ -39,9 +48,11 @@ from graftlink.paths import (
     pseudo_diameter,
     sssp_weighted,
 )
+from graftlink.mst import minimum_spanning_forest
 from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
 from graftlink.triangles import triangle_count, triangles_per_vertex
+from graftlink.truss import k_truss
 from graftlink.vertices import degrees, encode_vertices
 
 __all__ = [
@@ -72,6 +83,16 @@ __all__ = [
     "hits",
     "eigenvector_centrality",
     "katz_centrality",
+    "topo_levels",
+    "is_dag",
+    "k_truss",
+    "minimum_spanning_forest",
+    "cocitation",
+    "bibcoupling",
+    "dice_similarity",
+    "inverse_log_weighted_similarity",
+    "avg_neighbor_degree",
+    "knnk",
 ]
 
 __version__ = "0.1.0"
