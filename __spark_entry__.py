@@ -34,8 +34,11 @@ from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
 from graftlink import multimodal as _multimodal
 from graftlink import similarity as _similarity
+from graftlink import sampling as _sampling
 from graftlink import texthash as _texthash
 from graftlink import textops as _textops
+from graftlink import triangles as _triangles
+from graftlink import walks as _walks
 from graftlink.docs_graph import clean_edges, doc_edges, doc_edges_sql, read_documents
 
 
@@ -717,6 +720,48 @@ def _q_knnk(spark, sf_dir):
     return knnk(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_dyad_census(spark, sf_dir):
+    """igraph_dyad_census: (mut, asym, nulls) over unordered pairs."""
+    from graftlink.metrics import dyad_census
+
+    return dyad_census(doc_edges(spark, sf_dir))
+
+
+def _q_four_cliques(spark, sf_dir):
+    """igraph cliques(min=4, max=4) cardinality via oriented triples."""
+    from graftlink.triangles import four_clique_count
+
+    return four_clique_count(clean_edges(doc_edges(spark, sf_dir)))
+
+
+_WALK_STARTS = [0, 1, 2, 3, 4, 5, 6, 7]
+_WALK_STEPS = 12
+
+
+def _q_random_walks(spark, sf_dir):
+    """igraph random_walk surface: seeded deterministic walks (the
+    RNG replaced by a portable per-edge hash argmin, walks.py)."""
+    from graftlink.walks import random_walks
+
+    return random_walks(doc_edges(spark, sf_dir), _WALK_STARTS, _WALK_STEPS)
+
+
+def _q_doc_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment keyed on doc_id."""
+    from graftlink.sampling import assign_splits
+
+    docs = read_documents(spark, sf_dir).select("doc_id")
+    return assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def _q_doc_hash_sample(spark, sf_dir):
+    """Deterministic ~10% hash sample, stable across runs/engines."""
+    from graftlink.sampling import hash_sample
+
+    docs = read_documents(spark, sf_dir).select("doc_id")
+    return hash_sample(docs, "doc_id", rate=0.1, seed=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries (r02 recorded exactly entries
@@ -792,6 +837,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "knnk": _q_knnk,
+        "dyad_census": _q_dyad_census,
+        "four_clique_count": _q_four_cliques,
+        "random_walks": _q_random_walks,
+        "doc_splits": _q_doc_splits,
+        "doc_hash_sample": _q_doc_hash_sample,
         # ---- tail: variants subsumed by earlier green queries (see
         # ordering note above); verified via tools/driver_check.py ----
         "in_degree": _q_in_degree,
@@ -995,6 +1045,17 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": _linkpred.inverse_log_weighted_sql(_CLEAN),
         "avg_neighbor_degree": _linkpred.avg_neighbor_degree_sql(_CLEAN),
         "knnk": _linkpred.knnk_sql(_CLEAN),
+        "dyad_census": _metrics.dyad_census_sql(_CLEAN),
+        "four_clique_count": _triangles.four_clique_count_sql(_UND),
+        "random_walks": _walks.random_walks_sql(_CLEAN, _WALK_STARTS, _WALK_STEPS),
+        "doc_splits": _sampling.assign_splits_sql(
+            "SELECT doc_id FROM documents",
+            "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05},
+        ),
+        "doc_hash_sample": _sampling.hash_sample_sql(
+            "SELECT doc_id FROM documents", "doc_id", rate=0.1, seed=7
+        ),
         # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas converts to
         # float64 — the driver canonicalizer then sees 19525.0 vs 19525
         "lang_stats": """

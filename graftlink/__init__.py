@@ -49,9 +49,16 @@ from graftlink.paths import (
     sssp_weighted,
 )
 from graftlink.mst import minimum_spanning_forest
+from graftlink.sampling import assign_splits, hash_sample
+from graftlink.walks import random_walks
 from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
-from graftlink.triangles import triangle_count, triangles_per_vertex
+from graftlink.metrics import dyad_census
+from graftlink.triangles import (
+    four_clique_count,
+    triangle_count,
+    triangles_per_vertex,
+)
 from graftlink.truss import k_truss
 from graftlink.vertices import degrees, encode_vertices
 
@@ -93,6 +100,11 @@ __all__ = [
     "inverse_log_weighted_similarity",
     "avg_neighbor_degree",
     "knnk",
+    "random_walks",
+    "hash_sample",
+    "assign_splits",
+    "dyad_census",
+    "four_clique_count",
 ]
 
 __version__ = "0.1.0"

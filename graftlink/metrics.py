@@ -93,6 +93,39 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def dyad_census(edges: DataFrame) -> DataFrame:
+    """One-row DF[mut, asym, nulls] — igraph_dyad_census: unordered
+    vertex pairs with reciprocal edges (mut), exactly one edge (asym),
+    no edge (nulls = C(n,2) - mut - asym; igraph calls the field
+    "null", renamed because it is a reserved word in both SQL
+    engines). Self-loops/duplicates
+    dropped. One groupBy over the canonical pair key — the count of
+    directions per pair IS the classification; null comes from the
+    vertex-universe scalar, never a pair enumeration."""
+    from graftlink.docs_graph import clean_edges
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(edges)
+    per_pair = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_dirs"))
+    )
+    counts = per_pair.agg(
+        F.sum((F.col("_dirs") == 2).cast("long")).alias("mut"),
+        F.sum((F.col("_dirs") == 1).cast("long")).alias("asym"),
+    )
+    n = vertex_universe(e).count()
+    total_pairs = n * (n - 1) // 2
+    return counts.select(
+        "mut",
+        "asym",
+        (F.lit(total_pairs) - F.col("mut") - F.col("asym")).alias("nulls"),
+    )
+
+
 # ---------------------------------------------------------------------------
 def vertex_jaccard_similarity(
     edges: DataFrame, min_common: int = 1, threshold: float = 0.0
@@ -145,6 +178,25 @@ def density_sql(clean_edges_sql: str) -> str:
                round((SELECT count(*) FROM e) / (CAST(v.n AS DOUBLE) * (v.n - 1)), 8)
                  AS density
         FROM v
+    """
+
+
+def dyad_census_sql(clean_edges_sql: str) -> str:
+    return f"""
+        WITH e AS ({clean_edges_sql}),
+        per_pair AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   count(*) AS dirs
+            FROM e GROUP BY 1, 2
+        ),
+        v AS (SELECT count(*) AS n FROM
+              (SELECT src AS id FROM e UNION SELECT dst FROM e))
+        SELECT CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mut,
+               CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym,
+               CAST((SELECT n * (n - 1) // 2 FROM v)
+                 - sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)
+                 - sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+        FROM per_pair
     """
 
 

@@ -125,3 +125,59 @@ def transitivity(edges: DataFrame) -> float:
     if not wedges:
         return 0.0
     return 3.0 * triangle_count(edges) / float(wedges)
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """One-row DF[n_4cliques] — count of K4 subgraphs (igraph
+    motif/clique surface: cliques(min=4, max=4) cardinality).
+
+    Same degree-orientation trick as triangles, one join deeper: the
+    (deg, id) orientation is a total order, so every K4 has a unique
+    source vertex u pointing at the other three; enumerate u's
+    oriented out-neighbor triples x < y < z (by id) as a triangle
+    (u, x, y) extended by a third out-edge u->z, then close with the
+    two remaining undirected edges (x, z) and (y, z). Out-degrees are
+    O(sqrt(m))-bounded by the orientation, so the triple expansion is
+    near-linear on power-law graphs; every join is an equi-join on
+    canonical pair keys (broadcast/SMJ-eligible, no windows)."""
+    o = _oriented(edges).localCheckpoint(eager=True)
+    closing = o.select(
+        F.least("lo", "hi").alias("p"), F.greatest("lo", "hi").alias("q")
+    )
+    a = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    bdf = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    tri = (
+        a.join(bdf, "u")
+        .where(F.col("v") < F.col("w"))
+        .join(
+            closing.select(F.col("p").alias("v"), F.col("q").alias("w")),
+            ["v", "w"],
+        )
+    )  # (u, v, w): v < w by id, both oriented out-neighbors of u
+    third = o.select(F.col("lo").alias("u"), F.col("hi").alias("z"))
+    quads = (
+        tri.join(third, "u")
+        .where(F.col("z") > F.col("w"))
+        .join(
+            closing.select(F.col("p").alias("v"), F.col("q").alias("z")),
+            ["v", "z"],
+        )
+        .join(
+            closing.select(F.col("p").alias("w"), F.col("q").alias("z")),
+            ["w", "z"],
+        )
+    )
+    return quads.agg(F.count("*").alias("n_4cliques"))
+
+
+def four_clique_count_sql(und_sql: str) -> str:
+    """DuckDB twin: brute a < b < c < d with all six edges present."""
+    return f"""
+        WITH und AS ({und_sql})
+        SELECT count(*) AS n_4cliques
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b > e2.b
+        JOIN und e4 ON e4.a = e1.b AND e4.b = e2.b
+        JOIN und e5 ON e5.a = e1.b AND e5.b = e3.b
+        JOIN und e6 ON e6.a = e2.b AND e6.b = e3.b
+    """

@@ -1,0 +1,146 @@
+"""Seeded deterministic random walks over the edge table.
+
+igraph surface matched: `igraph_random_walk` / python
+`Graph.random_walk(start, steps)` (igraph@0.10.x src/paths/
+random_walk.c [unverified file]). igraph draws each step from its
+RNG; a distributed, oracle-checkable engine replaces the RNG with a
+seeded per-edge hash — the walk is still "uniform at each step" in
+the hash-randomness sense, but reproducible run-to-run, across
+partitionings, AND across engines (the DuckDB twin replays the same
+arithmetic), which is what a 100 TB training pipeline (node2vec-style
+corpus generation) actually needs from walks.
+
+Next-hop rule at vertex v, step t of walk w:
+    next = argmin over out-edges (v, d) of
+           H(w, t, v, d) = (w*A1 + t*A2 + v*A3 + d*A4 + C) mod P
+with ties broken by d (min struct order). For a fixed (w, t, v) the
+hash induces a near-uniform random order on the out-neighbors, so
+each is equally likely to be the argmin — the deterministic stand-in
+for igraph's uniform draw (same design as the deterministic min-label
+tie-breaks elsewhere in the engine, SURVEY.md §5.3).
+
+Shape per step: ONE shuffle_hash join of the walker frontier with the
+edge table on the current vertex + ONE min(struct) partial-agg keyed
+by walk id. No windows, no neighbor arrays, no per-vertex indexing —
+hub vertices fan out map-side and combine map-side, so the classic
+"walker lands on a 10^7-degree hub" skew never concentrates on one
+reducer. Walks that reach a sink (no out-edges) simply stop (their
+rows end at that step; igraph errors instead — documented deviation,
+the pipeline-friendly choice).
+
+All arithmetic stays below int64 overflow under ANSI mode: every
+multiplicand is pre-reduced mod P (P ~ 1e9, products <= ~1e18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+A1, A2, A3, A4, C = 2_654_435_761 % P, 40_503, 69_069, 1_103_515_245, 12_345
+
+
+def _hash_expr(w, t, v, d):
+    """Portable (walk, step, src, dst) -> [0, P) hash; identical
+    arithmetic in the DuckDB twin."""
+    term = (
+        (w % P) * A1 + (t % P) * A2 + (v % P) * A3 + (d % P) * A4 + C
+    )
+    return term % P
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | list[int],
+    steps: int,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[walk, step, vertex] — deterministic seeded walks.
+
+    starts: DF[walk, vertex] (arbitrary walk ids) or a list of start
+    vertex ids (walk id = start vertex). Row (w, 0, v0) is the start;
+    a walk that hits a sink has no rows past its last vertex."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(b, "src")
+        .localCheckpoint(eager=True)
+    )
+    if isinstance(starts, list):
+        starts = spark.createDataFrame(
+            [(int(v), int(v)) for v in starts], "walk long, vertex long"
+        )
+    cur = starts.select("walk", F.col("vertex").alias("cur"))
+    out: list[DataFrame] = [
+        cur.select("walk", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
+    ]
+    for t in range(1, steps + 1):
+        h = _hash_expr(F.col("walk"), F.lit(t), F.col("cur"), F.col("dst"))
+        nxt = (
+            cur.join(e.hint("shuffle_hash"), cur["cur"] == e["src"], "inner")
+            .select("walk", h.alias("_h"), "dst")
+            .groupBy("walk")
+            .agg(F.min(F.struct("_h", "dst")).alias("_m"))
+            .select("walk", F.col("_m.dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            nxt.select(
+                "walk", F.lit(t).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+        cur = nxt
+        if nxt.isEmpty():
+            break
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res.select("walk", F.col("step").cast("int").alias("step"), "vertex")
+
+
+def random_walks_sql(clean: str, start_list: list[int], steps: int) -> str:
+    """DuckDB twin: the same walk unrolled step-by-step with identical
+    hash arithmetic; per-step argmin via row_number over (h, dst)."""
+    starts = ", ".join(f"({v}, {v})" for v in start_list)
+    layers = []
+    for t in range(1, steps + 1):
+        layers.append(
+            f"""
+        w{t} AS MATERIALIZED (
+            SELECT walk, cur FROM (
+                SELECT p.walk, e.dst AS cur,
+                       row_number() OVER (
+                           PARTITION BY p.walk
+                           ORDER BY ((p.walk % {P}) * {A1} + ({t} % {P}) * {A2}
+                                     + (p.cur % {P}) * {A3} + (e.dst % {P}) * {A4}
+                                     + {C}) % {P}, e.dst
+                       ) AS rn
+                FROM w{t - 1} p JOIN e ON e.src = p.cur
+            ) WHERE rn = 1
+        )"""
+        )
+    chain = ",".join(layers)
+    sels = "\n            UNION ALL ".join(
+        f"SELECT walk, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(1, steps + 1)
+    )
+    return f"""
+        WITH
+        clean AS ({clean}),
+        e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM clean WHERE src <> dst
+        ),
+        w0 AS (
+            SELECT CAST(col0 AS BIGINT) AS walk,
+                   CAST(col1 AS BIGINT) AS cur
+            FROM (VALUES {starts})
+        ),{chain}
+        SELECT walk, CAST(step AS INT) AS step, vertex FROM (
+            SELECT walk, 0 AS step, cur AS vertex FROM w0
+            UNION ALL {sels}
+        )
+    """

@@ -1,0 +1,226 @@
+"""Parity tests for seeded random walks, dyad census, 4-clique
+counting, and deterministic hash sampling / splits.
+
+Value oracles: a pure-Python replay of the walk hash rule (walks are
+deterministic BY DESIGN, so the oracle is exact equality, not a
+distribution test), networkx/itertools brute force for dyads and
+4-cliques, and binomial-bound checks for the samplers. The DuckDB
+twins are exercised by the driver contract (tools/driver_check.py)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import networkx as nx
+
+from graftlink.metrics import dyad_census
+from graftlink.sampling import assign_splits, hash_sample
+from graftlink.triangles import four_clique_count
+from graftlink.walks import A1, A2, A3, A4, C, P, random_walks
+
+from tests.conftest import edges_df
+
+
+def _er_pairs(n, m, seed, directed=True):
+    rnd = random.Random(seed)
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b and (directed or a < b):
+            pairs.add((a, b))
+    return sorted(pairs)
+
+
+# ---------------------------------------------------------------------------
+# random walks
+# ---------------------------------------------------------------------------
+
+
+def _replay_walks(pairs, starts, steps):
+    """Pure-Python replay of the argmin-hash next-hop rule."""
+    adj: dict[int, list[int]] = {}
+    for a, b in set(pairs):
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    rows = set()
+    for w in starts:
+        cur = w
+        rows.add((w, 0, w))
+        for t in range(1, steps + 1):
+            outs = adj.get(cur)
+            if not outs:
+                break
+            v = cur
+            cur = min(
+                outs,
+                key=lambda d: (
+                    ((w % P) * A1 + (t % P) * A2 + (v % P) * A3
+                     + (d % P) * A4 + C) % P,
+                    d,
+                ),
+            )
+            rows.add((w, t, cur))
+    return rows
+
+
+def test_walks_match_python_replay(spark):
+    pairs = _er_pairs(40, 160, seed=3)
+    starts = [0, 5, 17, 33]
+    got = {
+        (r.walk, r.step, r.vertex)
+        for r in random_walks(edges_df(spark, pairs), starts, 10).collect()
+    }
+    assert got == _replay_walks(pairs, starts, 10)
+
+
+def test_walks_deterministic_across_partitionings(spark):
+    pairs = _er_pairs(30, 90, seed=9)
+    df = edges_df(spark, pairs)
+    a = {(r.walk, r.step, r.vertex)
+         for r in random_walks(df, [1, 2, 3], 8, buckets=2).collect()}
+    b = {(r.walk, r.step, r.vertex)
+         for r in random_walks(df.repartition(7), [1, 2, 3], 8,
+                               buckets=5).collect()}
+    assert a == b
+
+
+def test_walks_stop_at_sink(spark):
+    # 0 -> 1 -> 2, and 2 has no out-edges: walk ends at step 2
+    df = edges_df(spark, [(0, 1), (1, 2)])
+    rows = sorted(
+        (r.walk, r.step, r.vertex)
+        for r in random_walks(df, [0], 10).collect()
+    )
+    assert rows == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]
+
+
+def test_walks_step_choice_spreads_over_neighbors(spark):
+    # hash-argmin should not systematically favour one neighbor: from
+    # a star center with 4 out-neighbors, 64 walks' first steps must
+    # hit every neighbor
+    pairs = [(0, d) for d in (1, 2, 3, 4)]
+    starts_df = spark.createDataFrame(
+        [(w, 0) for w in range(64)], "walk long, vertex long"
+    )
+    first = (
+        random_walks(edges_df(spark, pairs), starts_df, 1)
+        .where("step = 1")
+        .collect()
+    )
+    hits = {r.vertex for r in first}
+    assert hits == {1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# dyad census
+# ---------------------------------------------------------------------------
+
+
+def test_dyad_census_brute_force(spark):
+    pairs = _er_pairs(25, 120, seed=5)
+    es = set(pairs)
+    n = 25
+    mut = asym = 0
+    for a, b in itertools.combinations(range(n), 2):
+        fwd, rev = (a, b) in es, (b, a) in es
+        if fwd and rev:
+            mut += 1
+        elif fwd or rev:
+            asym += 1
+    # make sure every vertex 0..24 appears so the vertex universe is n
+    assert {v for p in pairs for v in p} == set(range(n))
+    row = dyad_census(edges_df(spark, pairs)).collect()[0]
+    assert (row.mut, row.asym, row.nulls) == (
+        mut, asym, n * (n - 1) // 2 - mut - asym
+    )
+
+
+def test_dyad_census_ignores_loops_and_dups(spark):
+    df = edges_df(spark, [(0, 1), (0, 1), (1, 0), (2, 2), (1, 2)])
+    row = dyad_census(df).collect()[0]
+    assert (row.mut, row.asym, row.nulls) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# 4-cliques
+# ---------------------------------------------------------------------------
+
+
+def test_four_cliques_networkx(spark):
+    pairs = _er_pairs(18, 70, seed=7, directed=False)
+    G = nx.Graph(pairs)
+    want = sum(
+        1
+        for q in itertools.combinations(sorted(G.nodes), 4)
+        if all(G.has_edge(a, b) for a, b in itertools.combinations(q, 2))
+    )
+    assert want > 0  # fixture must actually contain 4-cliques
+    got = four_clique_count(edges_df(spark, pairs)).collect()[0].n_4cliques
+    assert got == want
+
+
+def test_four_cliques_k5_and_direction_blind(spark):
+    # K5 has C(5,4)=5 4-cliques; mixed edge directions + dups ignored
+    pairs = [(a, b) for a in range(5) for b in range(5) if a != b]
+    assert four_clique_count(
+        edges_df(spark, pairs)
+    ).collect()[0].n_4cliques == 5
+
+
+# ---------------------------------------------------------------------------
+# hash sampling / splits
+# ---------------------------------------------------------------------------
+
+
+def _ids_df(spark, n):
+    return spark.range(n).select("id")
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    for mode in ("portable", "fast"):
+        df = hash_sample(_ids_df(spark, 20_000), "id", 0.1, seed=3,
+                         hash_mode=mode)
+        got = {r.id for r in df.collect()}
+        # binomial(20000, 0.1): ±5 sigma band
+        assert abs(len(got) - 2000) < 5 * (20_000 * 0.1 * 0.9) ** 0.5
+        again = {r.id for r in hash_sample(_ids_df(spark, 20_000), "id",
+                                           0.1, seed=3,
+                                           hash_mode=mode).collect()}
+        assert got == again
+
+
+def test_hash_sample_is_subset_across_rates(spark):
+    # bucket < cut is monotone in rate: the 5% sample nests in the 20%
+    small = {r.id for r in hash_sample(_ids_df(spark, 5_000), "id",
+                                       0.05, seed=1).collect()}
+    big = {r.id for r in hash_sample(_ids_df(spark, 5_000), "id",
+                                     0.20, seed=1).collect()}
+    assert small < big
+
+
+def test_assign_splits_partition_and_weights(spark):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = assign_splits(_ids_df(spark, 20_000), "id", w, seed=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.split, set()).add(r.id)
+    assert sum(len(v) for v in by.values()) == 20_000  # total partition
+    assert set(by) == set(w)
+    for name, frac in w.items():
+        exp = 20_000 * frac
+        sd = (20_000 * frac * (1 - frac)) ** 0.5
+        assert abs(len(by[name]) - exp) < 5 * sd, (name, len(by[name]))
+
+
+def test_splits_and_sample_agree_across_hash_modes_on_shape(spark):
+    # fast mode (xxhash64) has no cross-engine oracle; gate its shape:
+    # same totality + same weight bands as portable
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    rows = assign_splits(_ids_df(spark, 10_000), "id", w, seed=4,
+                         hash_mode="fast").collect()
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+    assert sum(counts.values()) == 10_000
+    assert counts["train"] > 8 * counts["val"]
