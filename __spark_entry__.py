@@ -34,6 +34,7 @@ from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
 from graftlink import multimodal as _multimodal
 from graftlink import similarity as _similarity
+from graftlink import corpus as _corpus
 from graftlink import sampling as _sampling
 from graftlink import texthash as _texthash
 from graftlink import textops as _textops
@@ -762,6 +763,33 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition measures per document."""
+    from graftlink.corpus import repetition_signals
+
+    return repetition_signals(read_documents(spark, sf_dir))
+
+
+def _q_per_source_cap(spark, sf_dir):
+    """Cap documents per source domain (skew-safe two-phase top-k)."""
+    from graftlink.corpus import per_domain_cap
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return per_domain_cap(
+        docs, "source", cap=5, priority=[F.col("n_chars").desc()]
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination flags (benchmark = every 97th
+    doc, a deterministic stand-in eval set)."""
+    from graftlink.corpus import decontaminate
+
+    docs = read_documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, w=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries (r02 recorded exactly entries
@@ -842,6 +870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "doc_splits": _q_doc_splits,
         "doc_hash_sample": _q_doc_hash_sample,
+        "repetition_signals": _q_repetition_signals,
+        "per_source_cap": _q_per_source_cap,
+        "decontaminate_docs": _q_decontaminate,
         # ---- tail: variants subsumed by earlier green queries (see
         # ordering note above); verified via tools/driver_check.py ----
         "in_degree": _q_in_degree,
@@ -1055,6 +1086,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_hash_sample": _sampling.hash_sample_sql(
             "SELECT doc_id FROM documents", "doc_id", rate=0.1, seed=7
+        ),
+        "repetition_signals": _corpus.repetition_signals_sql(),
+        "per_source_cap": _corpus.per_domain_cap_sql(
+            "SELECT doc_id, source, n_chars FROM documents",
+            "source",
+            cap=5,
+            order_sql="n_chars DESC, doc_id",
+        ),
+        "decontaminate_docs": _corpus.decontaminate_sql(
+            "SELECT * FROM documents",
+            "SELECT * FROM documents WHERE doc_id % 97 = 0",
+            w=8,
         ),
         # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas converts to
         # float64 — the driver canonicalizer then sees 19525.0 vs 19525

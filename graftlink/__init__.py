@@ -53,6 +53,7 @@ from graftlink.sampling import assign_splits, hash_sample
 from graftlink.walks import random_walks
 from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
+from graftlink.corpus import decontaminate, per_domain_cap, repetition_signals
 from graftlink.metrics import dyad_census
 from graftlink.triangles import (
     four_clique_count,
@@ -105,6 +106,9 @@ __all__ = [
     "assign_splits",
     "dyad_census",
     "four_clique_count",
+    "per_domain_cap",
+    "repetition_signals",
+    "decontaminate",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,251 @@
+"""Corpus-curation operators for web-scale training pipelines:
+per-domain caps, repetition signals, and benchmark decontamination.
+
+These are the Common-Crawl-pipeline steps downstream of dedup
+(dedup.py) and quality scoring (textops.py):
+
+- **per_domain_cap** — cap documents per registrable domain so a few
+  template-heavy hosts don't dominate the corpus (every published CC
+  pipeline does this; e.g. the C4 and Gopher recipes cap or weight by
+  domain).
+- **repetition_signals** — Gopher-style per-document repetition
+  measures: duplicate-line fraction and the fraction of word bigrams
+  occupied by the single most frequent bigram. High values flag
+  boilerplate / keyword-stuffing pages that survive exact dedup.
+- **decontaminate** — n-gram overlap against a benchmark/eval set:
+  any document sharing a w-token shingle with the benchmark is
+  flagged, so eval data cannot leak into training data. Reuses the
+  portable shingle spec (texthash.shingle_hashes) so the operator is
+  value-hash-checked against a DuckDB twin.
+
+Scale shapes (100 TB):
+- per_domain_cap is the classic per-key-top-k skew trap (one window
+  partition per domain concentrates a 10^9-page host on one reducer).
+  The implementation is two-phase: a salted local top-cap bounds every
+  window partition at ~|domain|/S rows, then a global top-cap runs on
+  at most S*cap survivors per domain. The salt never changes the
+  RESULT (both phases use the same total order), only the partition
+  sizes — so the single-window DuckDB twin still hash-matches.
+- repetition_signals: duplicate-line fraction is a pure column
+  expression (no shuffle); the top-bigram fraction explodes bigrams
+  and aggregates keyed by (doc_id, gram) — partial-agg combines the
+  repeated grams map-side, which is exactly the skew being measured.
+- decontaminate: the benchmark side is small by construction (eval
+  sets are thousands of documents, not billions) — its distinct
+  shingle hashes broadcast; the corpus side is a projected
+  explode + broadcast LEFT SEMI join, no corpus shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from graftlink.texthash import shingle_hashes, shingle_hashes_sql
+
+
+def per_domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    priority: list | None = None,
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Keep at most `cap` rows per domain, chosen by the given
+    priority column order (default: id_col ascending — deterministic).
+    Priority entries are Column expressions or column names; id_col is
+    always appended as the final tie-break so the kept set is a total-
+    order prefix (unique, engine-independent)."""
+    order = [F.col(c) if isinstance(c, str) else c for c in (priority or [])]
+    order.append(F.col(id_col).asc())
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts))
+    local = Window.partitionBy(F.col(domain_col), salt).orderBy(*order)
+    survivors = (
+        df.withColumn("_rn", F.row_number().over(local))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    final = Window.partitionBy(F.col(domain_col)).orderBy(*order)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def per_domain_cap_sql(
+    source_sql: str,
+    domain_col: str,
+    cap: int,
+    order_sql: str,
+) -> str:
+    """DuckDB twin: the plain one-window formulation."""
+    return f"""
+        SELECT * EXCLUDE (_rn) FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {domain_col} ORDER BY {order_sql}
+            ) AS _rn
+            FROM ({source_sql})
+        ) WHERE _rn <= {cap}
+    """
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DF[id, dup_line_frac, top_bigram_frac] — Gopher-style
+    repetition measures, rounded to 6dp for cross-engine hashing."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # greatest(n-1, 0): slice() rejects negative lengths (empty docs)
+    m = F.greatest(n - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        grams.alias("_grams"),
+        F.size(grams).cast("double").alias("_n_grams"),
+    )
+    counts = (
+        base.select("id", "_n_grams", F.explode_outer("_grams").alias("_g"))
+        .groupBy("id", "_n_grams", "_g")
+        .agg(F.count("_g").alias("_c"))
+        .groupBy("id", "_n_grams")
+        .agg(F.max("_c").alias("_top"))
+    )
+    return counts.select(
+        "id",
+        F.round(
+            F.when(F.col("_n_grams") > 0, F.col("_top") / F.col("_n_grams"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    ).join(base.select("id", "dup_line_frac"), "id").select(
+        "id", "dup_line_frac", "top_bigram_frac"
+    )
+
+
+def repetition_signals_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   string_split({text_col}, chr(10)) AS lines,
+                   string_split_regex(lower({text_col}), '\\s+') AS toks
+            FROM {table}
+        ),
+        lined AS (
+            SELECT id,
+                   CASE WHEN len(lines) > 0
+                        THEN round((len(lines) - len(list_distinct(lines)))
+                                   / CAST(len(lines) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_line_frac,
+                   toks
+            FROM base
+        ),
+        grams AS (
+            SELECT id, dup_line_frac,
+                   CASE WHEN len(toks) >= 2
+                        THEN [toks[i] || ' ' || toks[i + 1]
+                              for i in range(1, len(toks))]
+                        ELSE [] END AS gs
+            FROM lined
+        ),
+        exploded AS (
+            SELECT id, dup_line_frac, len(gs) AS n_grams, u.g AS g
+            FROM grams LEFT JOIN UNNEST(gs) AS u(g) ON TRUE
+        ),
+        top AS (
+            SELECT id, dup_line_frac, n_grams, max(c) AS top_c
+            FROM (
+                SELECT id, dup_line_frac, n_grams, g, count(g) AS c
+                FROM exploded GROUP BY 1, 2, 3, 4
+            ) GROUP BY 1, 2, 3
+        )
+        SELECT id, dup_line_frac,
+               CASE WHEN n_grams > 0
+                    THEN round(top_c / CAST(n_grams AS DOUBLE), 6)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM top
+    """
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """DF[id, contaminated] — flag documents sharing any w-token
+    shingle with the (small) benchmark set. Deliberately returns the
+    full flag column rather than filtering, so pipelines can audit
+    what would be dropped before dropping it."""
+    bench = (
+        benchmark.select(
+            F.explode(
+                shingle_hashes(F.col(text_col), w=w, hash_mode=hash_mode)
+            ).alias("_h")
+        )
+        .distinct()
+    )
+    doc_shingles = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(F.col(text_col), w=w, hash_mode=hash_mode)).alias(
+            "_h"
+        ),
+    )
+    hits = (
+        doc_shingles.join(F.broadcast(bench), "_h", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits.withColumn("_hit", F.lit(True)), "id", "left")
+        .select("id", F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
+def decontaminate_sql(
+    docs_sql: str,
+    benchmark_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> str:
+    sh = shingle_hashes_sql(text_col, w=w)
+    return f"""
+        WITH bench AS MATERIALIZED (
+            SELECT DISTINCT u.h AS h
+            FROM (SELECT {sh} AS hs FROM ({benchmark_sql})) b,
+                 UNNEST(b.hs) AS u(h)
+        ),
+        doc_sh AS (
+            SELECT d.{id_col} AS id, u.h AS h
+            FROM (SELECT {id_col}, {sh} AS hs FROM ({docs_sql})) d,
+                 UNNEST(d.hs) AS u(h)
+        )
+        SELECT d.{id_col} AS id,
+               coalesce(hit.c, FALSE) AS contaminated
+        FROM ({docs_sql}) d
+        LEFT JOIN (
+            SELECT id, TRUE AS c FROM doc_sh
+            WHERE h IN (SELECT h FROM bench) GROUP BY id
+        ) hit ON hit.id = d.{id_col}
+    """

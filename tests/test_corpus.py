@@ -1,0 +1,147 @@
+"""Value tests for the corpus-curation operators (corpus.py):
+per-domain caps, repetition signals, benchmark decontamination.
+Pure-Python references throughout; the DuckDB twins are exercised by
+the driver contract (tools/driver_check.py)."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+from pyspark.sql import functions as F
+
+from graftlink.corpus import decontaminate, per_domain_cap, repetition_signals
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per_domain_cap
+# ---------------------------------------------------------------------------
+
+
+def _mk_corpus(n=400, domains=7, seed=2):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append((i, f"doc {i}", f"d{rnd.randrange(domains)}",
+                     rnd.randrange(1000)))
+    return rows
+
+
+def test_per_domain_cap_matches_python_topk(spark):
+    rows = _mk_corpus()
+    cap = 9
+    by_dom = collections.defaultdict(list)
+    for i, _, dom, nc in rows:
+        by_dom[dom].append((-nc, i))
+    want = {
+        i
+        for dom, lst in by_dom.items()
+        for (_, i) in sorted(lst)[:cap]
+    }
+    got = {
+        r.doc_id
+        for r in per_domain_cap(
+            _docs_df(spark, rows), "source", cap,
+            priority=[F.col("n_chars").desc()],
+        ).collect()
+    }
+    assert got == want
+
+
+def test_per_domain_cap_salt_invariant(spark):
+    # the salt changes partition sizes, never the result
+    rows = _mk_corpus(seed=5)
+    df = _docs_df(spark, rows)
+    a = {r.doc_id for r in per_domain_cap(df, "source", 4, salts=1).collect()}
+    b = {r.doc_id for r in per_domain_cap(df, "source", 4, salts=64).collect()}
+    assert a == b
+
+
+def test_per_domain_cap_small_domains_untouched(spark):
+    rows = [(0, "x", "a", 1), (1, "y", "a", 2), (2, "z", "b", 3)]
+    got = per_domain_cap(_docs_df(spark, rows), "source", 5).count()
+    assert got == 3
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+
+
+def _py_signals(text):
+    lines = text.split("\n")
+    dup = (len(lines) - len(set(lines))) / len(lines) if lines else 0.0
+    toks = [t for t in text.lower().split()]
+    # mirror the regex-split semantics: split on \s+ keeps a leading ''
+    import re
+
+    toks = re.split(r"\s+", text.lower())
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    top = (
+        max(collections.Counter(grams).values()) / len(grams) if grams else 0.0
+    )
+    return round(dup, 6), round(top, 6)
+
+
+def test_repetition_signals_values(spark):
+    texts = [
+        "spam spam spam spam spam ham",
+        "line one\nline two\nline one\nline three",
+        "",
+        "all distinct words here today",
+        "ab ab ab\nab ab ab\nab ab ab",
+    ]
+    rows = [(i, t, "s", len(t)) for i, t in enumerate(texts)]
+    got = {
+        r.id: (r.dup_line_frac, r.top_bigram_frac)
+        for r in repetition_signals(_docs_df(spark, rows)).collect()
+    }
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        assert got[i] == _py_signals(t), (i, t, got[i], _py_signals(t))
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    # doc 1 embeds an exact 8-token span of the benchmark doc; doc 2
+    # shares only shorter spans
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, bench_text, "s", 1),
+        (1, "intro words then quick brown fox jumps over the lazy dog done",
+         "s", 1),
+        (2, "quick brown fox but nothing else matches at all here", "s", 1),
+        (3, "completely unrelated text with different tokens", "s", 1),
+    ]
+    docs = _docs_df(spark, rows)
+    bench = docs.where("doc_id = 0")
+    got = {
+        r.id: r.contaminated
+        for r in decontaminate(docs, bench, w=8).collect()
+    }
+    assert got == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_decontaminate_fast_mode_agrees(spark):
+    rows = [
+        (i, f"token{i} " + "shared span of many common words here", "s", 1)
+        for i in range(6)
+    ] + [(9, "nothing in common with anything", "s", 1)]
+    docs = _docs_df(spark, rows)
+    bench = docs.where("doc_id = 0")
+    a = {r.id: r.contaminated
+         for r in decontaminate(docs, bench, w=5).collect()}
+    b = {r.id: r.contaminated
+         for r in decontaminate(docs, bench, w=5, hash_mode="fast").collect()}
+    assert a == b
+    assert a[9] is False and a[1] is True
