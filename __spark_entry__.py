@@ -30,6 +30,7 @@ from graftlink import dedup as _dedup
 from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
+from graftlink import mis as _mis
 from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
 from graftlink import multimodal as _multimodal
@@ -763,6 +764,23 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_mis(spark, sf_dir):
+    """igraph maximal-independent-set surface: ONE maximal set via
+    Luby rounds with fixed portable-hash priorities (== sequential
+    greedy over ascending priority)."""
+    from graftlink.mis import maximal_independent_set
+
+    return maximal_independent_set(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_coloring(spark, sf_dir):
+    """igraph_vertex_coloring_greedy surface: Jones–Plassmann with
+    fixed hash priorities (== sequential greedy, descending)."""
+    from graftlink.mis import greedy_coloring
+
+    return greedy_coloring(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition measures per document."""
     from graftlink.corpus import repetition_signals
@@ -873,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "per_source_cap": _q_per_source_cap,
         "decontaminate_docs": _q_decontaminate,
+        "mis_vertices": _q_mis,
+        "greedy_coloring": _q_coloring,
         # ---- tail: variants subsumed by earlier green queries (see
         # ordering note above); verified via tools/driver_check.py ----
         "in_degree": _q_in_degree,
@@ -1094,6 +1114,8 @@ def oracle_sql() -> dict[str, str]:
             cap=5,
             order_sql="n_chars DESC, doc_id",
         ),
+        "mis_vertices": _mis.mis_sql(_CLEAN),
+        "greedy_coloring": _mis.coloring_sql(_CLEAN),
         "decontaminate_docs": _corpus.decontaminate_sql(
             "SELECT * FROM documents",
             "SELECT * FROM documents WHERE doc_id % 97 = 0",

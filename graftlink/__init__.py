@@ -55,6 +55,7 @@ from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
 from graftlink.corpus import decontaminate, per_domain_cap, repetition_signals
 from graftlink.metrics import dyad_census
+from graftlink.mis import greedy_coloring, maximal_independent_set
 from graftlink.triangles import (
     four_clique_count,
     triangle_count,
@@ -109,6 +110,8 @@ __all__ = [
     "per_domain_cap",
     "repetition_signals",
     "decontaminate",
+    "maximal_independent_set",
+    "greedy_coloring",
 ]
 
 __version__ = "0.1.0"
