@@ -30,6 +30,7 @@ from graftlink import dedup as _dedup
 from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
+from graftlink import graphops as _graphops
 from graftlink import mis as _mis
 from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
@@ -781,6 +782,45 @@ def _q_coloring(spark, sf_dir):
     return greedy_coloring(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_induced_subgraph(spark, sf_dir):
+    """igraph_induced_subgraph on the id%7==0 vertex subset."""
+    from graftlink.graphops import induced_subgraph
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    v = vertex_universe(e).where(F.col("id") % 7 == 0)
+    return induced_subgraph(e, v)
+
+
+def _q_contracted_graph(spark, sf_dir):
+    """igraph_contract_vertices + simplify(combine=sum) under the
+    deterministic grouping id%50."""
+    from graftlink.graphops import contract_vertices
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    m = vertex_universe(e).select("id", (F.col("id") % 50).alias("group"))
+    return contract_vertices(e, m)
+
+
+def _q_reciprocal_edges(spark, sf_dir):
+    """igraph_intersection(g, reverse(g)) = the reciprocal edge set."""
+    from graftlink.graphops import graph_intersection
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return graph_intersection(e, rev)
+
+
+def _q_oneway_edges(spark, sf_dir):
+    """igraph_difference(g, reverse(g)) = the non-reciprocal edges."""
+    from graftlink.graphops import graph_difference
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return graph_difference(e, rev)
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition measures per document."""
     from graftlink.corpus import repetition_signals
@@ -893,6 +933,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _q_decontaminate,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "induced_subgraph": _q_induced_subgraph,
+        "contracted_graph": _q_contracted_graph,
+        "reciprocal_edges": _q_reciprocal_edges,
+        "oneway_edges": _q_oneway_edges,
         # ---- tail: variants subsumed by earlier green queries (see
         # ordering note above); verified via tools/driver_check.py ----
         "in_degree": _q_in_degree,
@@ -1116,6 +1160,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mis_vertices": _mis.mis_sql(_CLEAN),
         "greedy_coloring": _mis.coloring_sql(_CLEAN),
+        "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
+        "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
+        "reciprocal_edges": f"""
+            SELECT e.src, e.dst FROM ({_CLEAN}) e
+            WHERE EXISTS (SELECT 1 FROM ({_CLEAN}) r
+                          WHERE r.src = e.dst AND r.dst = e.src)
+        """,
+        "oneway_edges": f"""
+            SELECT e.src, e.dst FROM ({_CLEAN}) e
+            WHERE NOT EXISTS (SELECT 1 FROM ({_CLEAN}) r
+                              WHERE r.src = e.dst AND r.dst = e.src)
+        """,
         "decontaminate_docs": _corpus.decontaminate_sql(
             "SELECT * FROM documents",
             "SELECT * FROM documents WHERE doc_id % 97 = 0",

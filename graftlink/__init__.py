@@ -54,6 +54,13 @@ from graftlink.walks import random_walks
 from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
 from graftlink.corpus import decontaminate, per_domain_cap, repetition_signals
+from graftlink.graphops import (
+    contract_vertices,
+    graph_difference,
+    graph_intersection,
+    graph_union,
+    induced_subgraph,
+)
 from graftlink.metrics import dyad_census
 from graftlink.mis import greedy_coloring, maximal_independent_set
 from graftlink.triangles import (
@@ -112,6 +119,11 @@ __all__ = [
     "decontaminate",
     "maximal_independent_set",
     "greedy_coloring",
+    "induced_subgraph",
+    "contract_vertices",
+    "graph_union",
+    "graph_intersection",
+    "graph_difference",
 ]
 
 __version__ = "0.1.0"
