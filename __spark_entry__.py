@@ -39,6 +39,7 @@ from graftlink import similarity as _similarity
 from graftlink import corpus as _corpus
 from graftlink import sampling as _sampling
 from graftlink import texthash as _texthash
+from graftlink import triads as _triads
 from graftlink import textops as _textops
 from graftlink import triangles as _triangles
 from graftlink import walks as _walks
@@ -782,6 +783,13 @@ def _q_coloring(spark, sf_dir):
     return greedy_coloring(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_triad_census(spark, sf_dir):
+    """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
+    from graftlink.triads import triad_census
+
+    return triad_census(doc_edges(spark, sf_dir))
+
+
 def _q_induced_subgraph(spark, sf_dir):
     """igraph_induced_subgraph on the id%7==0 vertex subset."""
     from graftlink.graphops import induced_subgraph
@@ -933,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _q_decontaminate,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "triad_census": _q_triad_census,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
         "reciprocal_edges": _q_reciprocal_edges,
@@ -1160,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mis_vertices": _mis.mis_sql(_CLEAN),
         "greedy_coloring": _mis.coloring_sql(_CLEAN),
+        "triad_census": _triads.triad_census_sql(_CLEAN),
         "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
         "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
         "reciprocal_edges": f"""

@@ -63,6 +63,7 @@ from graftlink.graphops import (
 )
 from graftlink.metrics import dyad_census
 from graftlink.mis import greedy_coloring, maximal_independent_set
+from graftlink.triads import triad_census
 from graftlink.triangles import (
     four_clique_count,
     triangle_count,
@@ -124,6 +125,7 @@ __all__ = [
     "graph_union",
     "graph_intersection",
     "graph_difference",
+    "triad_census",
 ]
 
 __version__ = "0.1.0"
