@@ -245,6 +245,38 @@ def main():
     queries["infomap_2lvl_8rnd"] = round(time.monotonic() - t0, 2)
     log(f"infomap: {n_mod + 1} modules {queries['infomap_2lvl_8rnd']}s")
 
+    # round-3 session-2 operators: triad census (closed form), Luby
+    # MIS, Jones-Plassmann coloring, seeded walks — same graph
+    from graftlink.mis import greedy_coloring, maximal_independent_set
+    from graftlink.triads import triad_census
+    from graftlink.walks import random_walks
+
+    t0 = time.monotonic()
+    tc = triad_census(edges).collect()[0]
+    queries["triad_census"] = round(time.monotonic() - t0, 2)
+    log(f"triad_census: t300={tc.t300} {queries['triad_census']}s")
+
+    t0 = time.monotonic()
+    n_mis = (
+        maximal_independent_set(edges, checkpoint_mode="local")
+        .agg(F.sum(F.col("in_mis").cast("long"))).collect()[0][0]
+    )
+    queries["mis_luby"] = round(time.monotonic() - t0, 2)
+    log(f"mis: |MIS|={n_mis} {queries['mis_luby']}s")
+
+    # greedy coloring is deliberately NOT benched at this scale: its
+    # round count is the longest degree-descending path (~45 rounds on
+    # this graph, each a fixed driver-synchronous cost — measured
+    # ~115 s at 2e5 edges, round-count-bound, not data-bound); the
+    # sf0.01 driver-check wall is the recorded figure, same policy as
+    # walktrap.
+    _ = greedy_coloring  # imported above; row policy documented here
+
+    t0 = time.monotonic()
+    random_walks(edges, list(range(1000)), steps=10).count()
+    queries["walks_1k_10step"] = round(time.monotonic() - t0, 2)
+    log(f"walks_1k_10step {queries['walks_1k_10step']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -318,6 +350,16 @@ def main():
             f"({n_mod + 1:,} modules; walktrap not benched here — "
             f"Theta(mn) by algorithm, envelope declared in "
             f"graftlink/walktrap.py) | local[{CPUS}] |\n"
+            f"| triad census (closed form) | {queries['triad_census']} s "
+            f"| local[{CPUS}] |\n"
+            f"| MIS (Luby, hash priorities) | {queries['mis_luby']} s "
+            f"(|MIS|={n_mis:,}) | local[{CPUS}] |\n"
+            f"| greedy coloring (Jones-Plassmann) | not benched at this "
+            f"scale: rounds = longest degree-descending path (~45 here), "
+            f"round-count-bound; sf0.01 driver-check wall is the recorded "
+            f"figure | see graftlink/mis.py |\n"
+            f"| seeded walks (1k walkers x 10 steps, broadcast frontier) | "
+            f"{queries['walks_1k_10step']} s | local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
             f"| cosine top-k (Arrow matmul) | {queries['cosine_topk_arrow']} s "

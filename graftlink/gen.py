@@ -170,3 +170,88 @@ def synthetic_pages(
     return rng.mapInArrow(
         kernel, "url string, warc_ts timestamp, html binary, text string, lang string"
     )
+
+# ---------------------------------------------------------------------------
+# igraph deterministic constructors (igraph_ring/star/full/kary_tree/
+# square_lattice surface — igraph@0.10.x src/constructors/ [unverified
+# split]). All are pure spark.range + column expressions: distributed,
+# seed-free, O(edges) with no driver materialization. Barabási is
+# deliberately absent: preferential attachment is sequential-RNG by
+# definition; the power-law bench family (synthetic_edges) is the
+# deterministic stand-in for heavy-tail degree shape.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as _F
+
+
+def ring_graph(spark: SparkSession, n: int, directed: bool = False) -> DataFrame:
+    """Cycle 0-1-...-(n-1)-0 (igraph_ring, circular=True)."""
+    e = spark.range(n).select(
+        _F.col("id").alias("src"), ((_F.col("id") + 1) % n).alias("dst")
+    )
+    if directed:
+        return e
+    return e.unionAll(e.select(_F.col("dst").alias("src"), _F.col("src").alias("dst")))
+
+
+def star_graph(spark: SparkSession, n: int, mode: str = "out") -> DataFrame:
+    """Center 0 to/from spokes 1..n-1 (igraph_star)."""
+    spokes = spark.range(1, n)
+    if mode == "out":
+        return spokes.select(_F.lit(0).alias("src"), _F.col("id").alias("dst"))
+    if mode == "in":
+        return spokes.select(_F.col("id").alias("src"), _F.lit(0).alias("dst"))
+    out = spokes.select(_F.lit(0).alias("src"), _F.col("id").alias("dst"))
+    return out.unionAll(
+        spokes.select(_F.col("id").alias("src"), _F.lit(0).alias("dst"))
+    )
+
+
+def full_graph(spark: SparkSession, n: int, directed: bool = False) -> DataFrame:
+    """Complete graph, no loops (igraph_full). O(n²) edges BY
+    DEFINITION — a fixture constructor, not a web-scale object."""
+    a = spark.range(n).select(_F.col("id").alias("src"))
+    b = spark.range(n).select(_F.col("id").alias("dst"))
+    e = a.crossJoin(b)
+    cond = (
+        _F.col("src") != _F.col("dst")
+        if directed
+        else _F.col("src") < _F.col("dst")
+    )
+    return e.where(cond)
+
+
+def kary_tree(spark: SparkSession, n: int, k: int = 2, mode: str = "out") -> DataFrame:
+    """k-ary tree on n vertices, parent->child edges for mode='out'
+    (igraph_kary_tree): vertex i>0 has parent (i-1)//k."""
+    kids = spark.range(1, n).select(
+        _F.floor((_F.col("id") - 1) / k).cast("long").alias("parent"),
+        _F.col("id").alias("child"),
+    )
+    if mode == "out":
+        return kids.select(
+            _F.col("parent").alias("src"), _F.col("child").alias("dst")
+        )
+    return kids.select(_F.col("child").alias("src"), _F.col("parent").alias("dst"))
+
+
+def square_lattice(
+    spark: SparkSession, rows: int, cols: int, directed: bool = False
+) -> DataFrame:
+    """rows×cols grid, vertex id = r*cols + c, right+down neighbor
+    edges (igraph_square_lattice, non-circular)."""
+    cells = spark.range(rows * cols).select(
+        _F.col("id"),
+        _F.floor(_F.col("id") / cols).alias("_r"),
+        (_F.col("id") % cols).alias("_c"),
+    )
+    right = cells.where(_F.col("_c") < cols - 1).select(
+        _F.col("id").alias("src"), (_F.col("id") + 1).alias("dst")
+    )
+    down = cells.where(_F.col("_r") < rows - 1).select(
+        _F.col("id").alias("src"), (_F.col("id") + cols).alias("dst")
+    )
+    e = right.unionAll(down)
+    if directed:
+        return e
+    return e.unionAll(e.select(_F.col("dst").alias("src"), _F.col("src").alias("dst")))

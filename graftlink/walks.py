@@ -55,12 +55,22 @@ def random_walks(
     starts: DataFrame | list[int],
     steps: int,
     buckets: int | None = None,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """DF[walk, step, vertex] — deterministic seeded walks.
 
     starts: DF[walk, vertex] (arbitrary walk ids) or a list of start
     vertex ids (walk id = start vertex). Row (w, 0, v0) is the start;
-    a walk that hits a sink has no rows past its last vertex."""
+    a walk that hits a sink has no rows past its last vertex.
+
+    Join strategy: the walker frontier never grows, so when it is
+    small (a corpus-sampling job walks thousands-to-millions of
+    walkers over billions of edges) broadcasting it keeps the edge
+    table completely in place — zero edge shuffle per step, the only
+    shuffle is the walk-keyed min reduce over the scattered frontier
+    edges. With walker counts approaching the edge count, pass
+    broadcast_frontier=False for the co-partitioned shuffle_hash plan.
+    Default: broadcast for list starts and ≤1e6 walkers."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
@@ -71,18 +81,27 @@ def random_walks(
         .localCheckpoint(eager=True)
     )
     if isinstance(starts, list):
+        if broadcast_frontier is None:
+            broadcast_frontier = len(starts) <= 1_000_000
         starts = spark.createDataFrame(
             [(int(v), int(v)) for v in starts], "walk long, vertex long"
         )
+    elif broadcast_frontier is None:
+        broadcast_frontier = starts.count() <= 1_000_000
     cur = starts.select("walk", F.col("vertex").alias("cur"))
     out: list[DataFrame] = [
         cur.select("walk", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
     ]
     for t in range(1, steps + 1):
         h = _hash_expr(F.col("walk"), F.lit(t), F.col("cur"), F.col("dst"))
+        if broadcast_frontier:
+            scattered = e.join(F.broadcast(cur), cur["cur"] == e["src"], "inner")
+        else:
+            scattered = cur.join(
+                e.hint("shuffle_hash"), cur["cur"] == e["src"], "inner"
+            )
         nxt = (
-            cur.join(e.hint("shuffle_hash"), cur["cur"] == e["src"], "inner")
-            .select("walk", h.alias("_h"), "dst")
+            scattered.select("walk", h.alias("_h"), "dst")
             .groupBy("walk")
             .agg(F.min(F.struct("_h", "dst")).alias("_m"))
             .select("walk", F.col("_m.dst").alias("cur"))

@@ -1,0 +1,72 @@
+"""igraph deterministic constructors (gen.py) vs networkx
+generators, plus cross-operator sanity (the constructors feed the
+engine's own operators)."""
+
+from __future__ import annotations
+
+import networkx as nx
+
+from graftlink.gen import (
+    full_graph,
+    kary_tree,
+    ring_graph,
+    square_lattice,
+    star_graph,
+)
+
+
+def _und(df):
+    return {frozenset((r.src, r.dst)) for r in df.collect()}
+
+
+def test_ring_matches_cycle_graph(spark):
+    got = _und(ring_graph(spark, 9))
+    want = {frozenset(e) for e in nx.cycle_graph(9).edges}
+    assert got == want
+    assert ring_graph(spark, 9, directed=True).count() == 9
+
+
+def test_star_modes(spark):
+    out = {(r.src, r.dst) for r in star_graph(spark, 6, "out").collect()}
+    assert out == {(0, d) for d in range(1, 6)}
+    inn = {(r.src, r.dst) for r in star_graph(spark, 6, "in").collect()}
+    assert inn == {(d, 0) for d in range(1, 6)}
+    assert star_graph(spark, 6, "mutual").count() == 10
+
+
+def test_full_graph(spark):
+    got = _und(full_graph(spark, 7))
+    want = {frozenset(e) for e in nx.complete_graph(7).edges}
+    assert got == want
+    assert full_graph(spark, 7, directed=True).count() == 42
+
+
+def test_kary_tree_matches_networkx(spark):
+    # networkx full r-ary tree uses the same (i-1)//k parent layout
+    got = {(r.src, r.dst) for r in kary_tree(spark, 15, k=2).collect()}
+    want = set(nx.full_rary_tree(2, 15).edges)  # parent < child
+    assert got == want
+
+
+def test_square_lattice_matches_grid(spark):
+    rows, cols = 4, 5
+    got = _und(square_lattice(spark, rows, cols))
+    G = nx.grid_2d_graph(rows, cols)
+    want = {
+        frozenset((r1 * cols + c1, r2 * cols + c2))
+        for (r1, c1), (r2, c2) in G.edges
+    }
+    assert got == want
+
+
+def test_constructors_feed_engine_ops(spark):
+    # ring of 12 is 2-colorable and its census has no triangles
+    from graftlink.mis import greedy_coloring
+    from graftlink.triangles import triangle_count
+
+    ring = ring_graph(spark, 12)
+    assert triangle_count(ring) == 0
+    colors = {r.id: r.color for r in greedy_coloring(ring).collect()}
+    assert set(colors.values()) <= {0, 1, 2}
+    # tree diameter via pseudo_diameter >= depth bound sanity
+    assert kary_tree(spark, 15).count() == 14

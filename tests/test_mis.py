@@ -40,8 +40,9 @@ def _greedy_mis(nbrs):
 
 
 def _greedy_coloring(nbrs):
+    # largest-degree-first, hash tie-break (the engine's JP priority)
     colors = {}
-    for v in sorted(nbrs, key=lambda v: -_pri(v)):
+    for v in sorted(nbrs, key=lambda v: (-len(nbrs[v]), -_pri(v))):
         used = {colors[u] for u in nbrs[v] if u in colors}
         k = 0
         while k in used:
@@ -114,3 +115,45 @@ def test_coloring_star_uses_two_colors(spark):
     assert len(set(got.values())) == 2
     leaves = {got[d] for d in range(1, 12)}
     assert len(leaves) == 1 and got[0] not in leaves
+
+
+def test_mis_resume_exact(spark, tmp_path):
+    from graftlink.checkpoint import fingerprint_edges
+
+    pairs = _er(50, 200, seed=11)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    full = {r.id: r.in_mis
+            for r in maximal_independent_set(e).collect()}
+    d = str(tmp_path / "mis")
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        maximal_independent_set(e, max_rounds=1, checkpoint_dir=d,
+                                fingerprint=fp)
+    resumed = {
+        r.id: r.in_mis
+        for r in maximal_independent_set(
+            e, checkpoint_dir=d, resume=True, fingerprint=fp
+        ).collect()
+    }
+    assert resumed == full
+
+
+def test_coloring_resume_exact(spark, tmp_path):
+    from graftlink.checkpoint import fingerprint_edges
+
+    pairs = _er(40, 220, seed=12)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    full = {r.id: r.color for r in greedy_coloring(e).collect()}
+    d = str(tmp_path / "col")
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        greedy_coloring(e, max_rounds=1, checkpoint_dir=d, fingerprint=fp)
+    resumed = {
+        r.id: r.color
+        for r in greedy_coloring(
+            e, checkpoint_dir=d, resume=True, fingerprint=fp
+        ).collect()
+    }
+    assert resumed == full
