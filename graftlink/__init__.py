@@ -69,7 +69,7 @@ from graftlink.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
-from graftlink.truss import k_truss
+from graftlink.truss import k_truss, trussness
 from graftlink.vertices import degrees, encode_vertices
 
 __all__ = [
@@ -126,6 +126,7 @@ __all__ = [
     "graph_intersection",
     "graph_difference",
     "triad_census",
+    "trussness",
 ]
 
 __version__ = "0.1.0"
