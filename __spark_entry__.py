@@ -783,6 +783,23 @@ def _q_coloring(spark, sf_dir):
     return greedy_coloring(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_assortativity_by_lang(spark, sf_dir):
+    """igraph_assortativity_nominal over document-language classes."""
+    from graftlink.metrics import assortativity_nominal
+
+    labels = read_documents(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("cat")
+    )
+    return assortativity_nominal(doc_edges(spark, sf_dir), labels)
+
+
+def _q_burt_constraint(spark, sf_dir):
+    """igraph_constraint (Burt structural holes, undirected)."""
+    from graftlink.linkpred import constraint
+
+    return constraint(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_edge_trussness(spark, sf_dir):
     """igraph_trussness: per-edge max k via h-index propagation (no
     O(k_max) sequential peel)."""
@@ -954,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knnk": _q_knnk,
         "dyad_census": _q_dyad_census,
         "four_clique_count": _q_four_cliques,
+        "assortativity_by_lang": _q_assortativity_by_lang,
+        "burt_constraint": _q_burt_constraint,
         "doc_hash_sample": _q_doc_hash_sample,
         "repetition_signals": _q_repetition_signals,
         "induced_subgraph": _q_induced_subgraph,
@@ -1182,6 +1201,10 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _mis.coloring_sql(_CLEAN),
         "triad_census": _triads.triad_census_sql(_CLEAN),
         "edge_trussness": _truss_sql.trussness_sql(_CLEAN),
+        "assortativity_by_lang": _metrics.assortativity_nominal_sql(
+            _CLEAN, "SELECT doc_id AS id, lang AS cat FROM documents"
+        ),
+        "burt_constraint": _linkpred.constraint_sql(_CLEAN),
         "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
         "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
         "reciprocal_edges": f"""

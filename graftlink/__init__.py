@@ -30,6 +30,7 @@ from graftlink.linkpred import (
     avg_neighbor_degree,
     bibcoupling,
     cocitation,
+    constraint,
     dice_similarity,
     inverse_log_weighted_similarity,
     knnk,
@@ -61,7 +62,7 @@ from graftlink.graphops import (
     graph_union,
     induced_subgraph,
 )
-from graftlink.metrics import dyad_census
+from graftlink.metrics import assortativity_nominal, dyad_census
 from graftlink.mis import greedy_coloring, maximal_independent_set
 from graftlink.triads import triad_census
 from graftlink.triangles import (
@@ -127,6 +128,8 @@ __all__ = [
     "graph_difference",
     "triad_census",
     "trussness",
+    "assortativity_nominal",
+    "constraint",
 ]
 
 __version__ = "0.1.0"

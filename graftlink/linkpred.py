@@ -268,3 +268,104 @@ def knnk_sql(clean: str) -> str:
         )
         SELECT deg, round(avg(round(knn, 8)), 8) AS knnk FROM knn GROUP BY deg
     """
+
+def constraint(edges: DataFrame) -> DataFrame:
+    """DF[id, constraint] — Burt's structural-holes constraint
+    (igraph_constraint, undirected unweighted convention; vertices
+    with no neighbors are omitted, where igraph returns NaN).
+
+    c(i) = Σ_{j∈N(i)} (p_ij + Σ_{q∈N(i)∩N(j)} p_iq p_qj)² with
+    p_ij = 1/deg(i) unweighted, which collapses to
+    c(i) = Σ_{j∈N(i)} ((1 + S_ij) / deg(i))² where
+    S_ij = Σ_{common q} 1/deg(q) — SYMMETRIC per pair, so one
+    degree-oriented triangle pass (O(m^1.5), power-law-safe) computes
+    every S_ij as a partial-agg sum of the third corner's 1/deg, and
+    the rest is two equi-joins against the degree table. No wedge
+    enumeration, no windows."""
+    from graftlink.triangles import _closed_triangles
+
+    und = _canonical_und(edges).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = _closed_triangles(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    # each triangle contributes 1/deg(third) to its three pairs
+    def _side(p1, p2, q):
+        return tri.select(
+            F.least(p1, p2).alias("a"), F.greatest(p1, p2).alias("b"),
+            F.col(q).alias("q"),
+        )
+
+    thirds = (
+        _side("u", "v", "w")
+        .unionAll(_side("u", "w", "v"))
+        .unionAll(_side("v", "w", "u"))
+        .join(deg.select(F.col("id").alias("q"), "deg"), "q")
+        .groupBy("a", "b")
+        .agg(F.sum(1.0 / F.col("deg")).alias("_s"))
+    )
+    pairs = und.join(thirds, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("_s", F.lit(0.0)).alias("_s")
+    )
+    # each undirected edge contributes to BOTH endpoints' sums
+    ends = pairs.select(F.col("a").alias("id"), "_s").unionByName(
+        pairs.select(F.col("b").alias("id"), "_s")
+    )
+    return (
+        ends.join(deg, "id")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow((1.0 + F.col("_s")) / F.col("deg"), F.lit(2.0))
+                ),
+                6,
+            ).alias("constraint")
+        )
+    )
+
+
+def constraint_sql(clean: str) -> str:
+    return f"""
+        WITH e AS ({clean}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM e WHERE src <> dst
+        ),
+        deg AS MATERIALIZED (
+            SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY id
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        thirds AS (
+            SELECT a, b, sum(1.0 / d.deg) AS s FROM (
+                SELECT x AS a, y AS b, z AS q FROM tri
+                UNION ALL SELECT x, z, y FROM tri
+                UNION ALL SELECT y, z, x FROM tri
+            ) t JOIN deg d ON d.id = t.q
+            GROUP BY a, b
+        ),
+        pairs AS (
+            SELECT u.a, u.b, coalesce(t.s, 0.0) AS s
+            FROM und u LEFT JOIN thirds t ON t.a = u.a AND t.b = u.b
+        ),
+        ends AS (
+            SELECT a AS id, s FROM pairs
+            UNION ALL SELECT b, s FROM pairs
+        )
+        SELECT ends.id,
+               round(sum(pow((1.0 + s) / d.deg, 2)), 6) AS constraint
+        FROM ends JOIN deg d ON d.id = ends.id
+        GROUP BY ends.id
+    """

@@ -263,3 +263,72 @@ def vertex_jaccard_similarity_sql(und_sql: str, min_common: int = 1,
         JOIN deg db ON common.b = db.id
         WHERE CAST(common AS DOUBLE) / (da.deg + db.deg - common) >= {threshold}
     """
+
+def assortativity_nominal(
+    edges: DataFrame, labels: DataFrame, directed: bool = True
+) -> DataFrame:
+    """One-row DF[assortativity] — igraph_assortativity_nominal:
+    Newman's category assortativity r = (Σe_ii − Σa_i b_i) /
+    (1 − Σa_i b_i) over the edge mixing matrix (labels: DF[id, cat]).
+    Directed form; undirected passes each edge both ways first.
+    One labeled-edge join + two scalar aggregations — no category
+    matrix is materialized (the sums fold it away)."""
+    from graftlink.docs_graph import clean_edges
+
+    e = clean_edges(edges)
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ls = labels.select(F.col("id").alias("src"), F.col("cat").alias("_cs"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("cat").alias("_cd"))
+    lab = e.join(ls, "src").join(ld, "dst")
+    m = lab.count()
+    # e_ii: same-category edge fraction
+    eii = lab.where(F.col("_cs") == F.col("_cd")).count() / m
+    # Σ a_i b_i: out-fraction x in-fraction per category
+    marg = (
+        lab.groupBy(F.col("_cs").alias("cat")).agg(F.count("*").alias("_o"))
+        .join(
+            lab.groupBy(F.col("_cd").alias("cat")).agg(F.count("*").alias("_i")),
+            "cat", "full",
+        )
+        .agg(
+            F.sum(
+                F.coalesce("_o", F.lit(0)) * F.coalesce("_i", F.lit(0))
+            ).alias("ab")
+        )
+        .collect()[0]["ab"]
+    )
+    ab = marg / (m * m)
+    r = (eii - ab) / (1.0 - ab) if ab < 1.0 else 1.0
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(round(float(r), 6),)], "assortativity double"
+    )
+
+
+def assortativity_nominal_sql(clean: str, labels_sql: str) -> str:
+    """DuckDB twin (directed form); labels_sql -> (id, cat)."""
+    return f"""
+        WITH e AS ({clean}),
+        lab AS MATERIALIZED (
+            SELECT ls.cat AS cs, ld.cat AS cd
+            FROM e
+            JOIN ({labels_sql}) ls ON ls.id = e.src
+            JOIN ({labels_sql}) ld ON ld.id = e.dst
+        ),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM lab),
+        eii AS (
+            SELECT count(*) / (SELECT m FROM m) AS v FROM lab WHERE cs = cd
+        ),
+        ab AS (
+            SELECT sum(coalesce(o.c, 0) * coalesce(i.c, 0))
+                   / ((SELECT m FROM m) * (SELECT m FROM m)) AS v
+            FROM (SELECT cs AS cat, count(*) AS c FROM lab GROUP BY 1) o
+            FULL JOIN (SELECT cd AS cat, count(*) AS c FROM lab GROUP BY 1) i
+              USING (cat)
+        )
+        SELECT round(((SELECT v FROM eii) - (SELECT v FROM ab))
+                     / (1.0 - (SELECT v FROM ab)), 6) AS assortativity
+    """
