@@ -766,6 +766,14 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """End-to-end curation: quality filter -> exact dedup -> near-dup
+    drop -> per-source cap -> split assignment, one DataFrame plan."""
+    from graftlink.corpus import curate
+
+    return curate(read_documents(spark, sf_dir))
+
+
 def _q_mis(spark, sf_dir):
     """igraph maximal-independent-set surface: ONE maximal set via
     Luby rounds with fixed portable-hash priorities (== sequential
@@ -917,12 +925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash": _q_near_dup_minhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "cosine_topk": _q_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_stats": _q_media_stats,
         "doc_splits": _q_doc_splits,
         "per_source_cap": _q_per_source_cap,
         "decontaminate_docs": _q_decontaminate,
+        "curate_corpus": _q_curate_corpus,
         # iterative graph algorithms: fixed-iteration deterministic
         # variants with recursive-CTE oracles (iterative_sql.py);
         # pytest additionally gates run-to-convergence vs numpy/networkx
@@ -975,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint": _q_burt_constraint,
         "doc_hash_sample": _q_doc_hash_sample,
         "repetition_signals": _q_repetition_signals,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
         "reciprocal_edges": _q_reciprocal_edges,
@@ -1205,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
             _CLEAN, "SELECT doc_id AS id, lang AS cat FROM documents"
         ),
         "burt_constraint": _linkpred.constraint_sql(_CLEAN),
+        "curate_corpus": _corpus.curate_sql(),
         "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
         "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
         "reciprocal_edges": f"""

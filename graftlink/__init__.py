@@ -54,7 +54,12 @@ from graftlink.sampling import assign_splits, hash_sample
 from graftlink.walks import random_walks
 from graftlink.scc import strongly_connected_components
 from graftlink.spectral import eigenvector_centrality, hits, katz_centrality
-from graftlink.corpus import decontaminate, per_domain_cap, repetition_signals
+from graftlink.corpus import (
+    curate,
+    decontaminate,
+    per_domain_cap,
+    repetition_signals,
+)
 from graftlink.graphops import (
     contract_vertices,
     graph_difference,
@@ -130,6 +135,7 @@ __all__ = [
     "trussness",
     "assortativity_nominal",
     "constraint",
+    "curate",
 ]
 
 __version__ = "0.1.0"

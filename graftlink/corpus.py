@@ -249,3 +249,99 @@ def decontaminate_sql(
             WHERE h IN (SELECT h FROM bench) GROUP BY id
         ) hit ON hit.id = d.{id_col}
     """
+
+def curate(
+    docs: DataFrame,
+    quality_min: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    domain_cap: int = 20,
+    split_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """DF[doc_id, source, split] — the full curation pipeline as ONE
+    DataFrame program, the order every published web-corpus recipe
+    uses: quality filter → exact dedup (keep min id per text) →
+    MinHash near-dup drop (greedy: of each detected pair a<b, drop b
+    — deterministic, not transitive clustering, documented deviation)
+    → per-domain cap (priority: longer docs first) → train/val/test
+    split assignment.
+
+    Each stage is the already-tested operator; composing them stays
+    one lazy plan end-to-end, so Catalyst prunes documents columns to
+    (id, text, source, n_chars) at the scan and the text column never
+    survives past the dedup stages."""
+    from graftlink.dedup import exact_dedup, near_dup_minhash
+    from graftlink.sampling import assign_splits
+    from graftlink.textops import quality_scores
+
+    q = quality_scores(docs, text_col, id_col)
+    s1 = docs.join(
+        q.where(F.col("quality") >= quality_min).select("id"),
+        F.col(id_col) == F.col("id"),
+        "left_semi",
+    )
+    keepers = exact_dedup(s1, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    s2 = s1.join(keepers, id_col, "left_semi")
+    nd = near_dup_minhash(
+        s2, text_col, id_col,
+        threshold=near_dup_threshold, hash_mode=hash_mode,
+    )
+    s3 = s2.join(
+        nd.select(F.col("b").alias(id_col)).distinct(), id_col, "left_anti"
+    )
+    s4 = per_domain_cap(
+        s3.select(id_col, domain_col, "n_chars"),
+        domain_col,
+        domain_cap,
+        priority=[F.col("n_chars").desc()],
+        id_col=id_col,
+    )
+    return assign_splits(
+        s4, id_col, split_weights, hash_mode=hash_mode
+    ).select(id_col, domain_col, "split")
+
+
+def curate_sql(
+    quality_min: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    domain_cap: int = 20,
+    split_weights: dict[str, float] | None = None,
+) -> str:
+    from graftlink.dedup import near_dup_minhash_sql
+    from graftlink.sampling import assign_splits_sql
+    from graftlink.textops import quality_scores_sql
+
+    nd = near_dup_minhash_sql(table="s2", threshold=near_dup_threshold)
+    capped = per_domain_cap_sql(
+        "SELECT doc_id, source, n_chars FROM s3",
+        "source",
+        domain_cap,
+        "n_chars DESC, doc_id",
+    )
+    split = assign_splits_sql(
+        "SELECT doc_id, source FROM s4", "doc_id", split_weights
+    )
+    return f"""
+        WITH q AS MATERIALIZED ({quality_scores_sql()}),
+        s1 AS MATERIALIZED (
+            SELECT d.* FROM documents d
+            JOIN q ON q.id = d.doc_id AND q.quality >= {quality_min}
+        ),
+        s2 AS MATERIALIZED (
+            SELECT d.* FROM s1 d
+            JOIN (SELECT min(doc_id) AS k FROM s1 GROUP BY text) kk
+              ON kk.k = d.doc_id
+        ),
+        nd AS MATERIALIZED ({nd}),
+        s3 AS MATERIALIZED (
+            SELECT * FROM s2
+            WHERE doc_id NOT IN (SELECT b FROM nd)
+        ),
+        s4 AS MATERIALIZED ({capped})
+        SELECT doc_id, source, split FROM ({split})
+    """

@@ -145,3 +145,43 @@ def test_decontaminate_fast_mode_agrees(spark):
          for r in decontaminate(docs, bench, w=5, hash_mode="fast").collect()}
     assert a == b
     assert a[9] is False and a[1] is True
+
+
+def test_curate_pipeline_stage_consistency(spark):
+    import collections as _c
+
+    from graftlink.corpus import curate
+    from graftlink.dedup import near_dup_minhash
+    from graftlink.textops import quality_scores
+
+    texts = [
+        ("alpha beta gamma delta epsilon zeta eta theta " * 4).strip(),
+        ("alpha beta gamma delta epsilon zeta eta theta " * 4).strip(),  # exact dup
+        ("alpha beta gamma delta epsilon zeta eta NEW " * 4).strip(),    # near dup
+        "the quick brown fox jumps over the lazy dog and runs home now",
+        "!!!",                                                            # low quality
+        "numbers and words mix here with many common the and of tokens",
+    ] * 8  # spread over sources
+    rows = [
+        (i, t, f"s{i % 3}", len(t)) for i, t in enumerate(texts)
+    ]
+    docs = _docs_df(spark, rows)
+    out = curate(docs, quality_min=0.4, domain_cap=5).collect()
+    ids = {r.doc_id for r in out}
+    # survivors are a subset of the input
+    assert ids <= {r[0] for r in rows}
+    # per-source cap respected
+    per_src = _c.Counter(r.source for r in out)
+    assert all(v <= 5 for v in per_src.values()), per_src
+    # split labels valid and deterministic rerun
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    again = {(r.doc_id, r.split) for r in curate(
+        docs, quality_min=0.4, domain_cap=5).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
+    # low-quality docs are gone
+    q = {r.id: r.quality for r in quality_scores(docs).collect()}
+    assert all(q[i] >= 0.4 for i in ids)
+    # near-dup b-sides of surviving pairs were dropped
+    nd = near_dup_minhash(docs, threshold=0.5)
+    for r in nd.collect():
+        assert not (r.a in ids and r.b in ids) or r.a == r.b
