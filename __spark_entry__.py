@@ -766,6 +766,26 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_avg_local_clustering(spark, sf_dir):
+    """igraph_transitivity_avglocal_undirected (mode='zero': deg<2
+    vertices count as 0, matching the lcc convention above)."""
+    return _q_local_clustering(spark, sf_dir).agg(
+        F.round(F.avg("lcc"), 8).alias("avg_lcc")
+    )
+
+
+def _q_diversity(spark, sf_dir):
+    """igraph_diversity over the weighted quotient graph (id%50
+    contraction — the engine's deterministic weighted fixture)."""
+    from graftlink.graphops import contract_vertices
+    from graftlink.metrics import diversity
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    m = vertex_universe(e).select("id", (F.col("id") % 50).alias("group"))
+    return diversity(contract_vertices(e, m))
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation: quality filter -> exact dedup -> near-dup
     drop -> per-source cap -> split assignment, one DataFrame plan."""
@@ -988,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "reciprocal_edges": _q_reciprocal_edges,
         "oneway_edges": _q_oneway_edges,
+        "avg_local_clustering": _q_avg_local_clustering,
+        "weighted_diversity": _q_diversity,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "component_sizes": _q_component_sizes,
         "minhash_signatures": _q_minhash_signatures,
@@ -1010,6 +1032,32 @@ _CLEAN = f"SELECT DISTINCT src, dst FROM ({_EDGES}) WHERE src <> dst"
 _UND = (
     f"SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ({_CLEAN})"
 )
+
+_LCC_SQL = f"""
+            WITH und AS ({_UND}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ),
+            tpv AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
+            SELECT deg.id,
+                   round(CASE WHEN deg.deg >= 2
+                         THEN 2.0 * coalesce(tpv.n, 0) / (deg.deg * (deg.deg - 1))
+                         ELSE 0.0 END, 8) AS lcc
+            FROM deg LEFT JOIN tpv ON deg.id = tpv.id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1077,31 +1125,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(3.0 * t.t / greatest(w.w, 1.0), 8) AS transitivity
             FROM t, w
         """,
-        "local_clustering": f"""
-            WITH und AS ({_UND}),
-            deg AS (
-                SELECT id, count(*) AS deg FROM (
-                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
-                ) GROUP BY id
-            ),
-            tri AS (
-                SELECT e1.a AS u, e1.b AS v, e2.b AS w
-                FROM und e1
-                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
-                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
-            ),
-            corners AS (
-                SELECT u AS id FROM tri
-                UNION ALL SELECT v FROM tri
-                UNION ALL SELECT w FROM tri
-            ),
-            tpv AS (SELECT id, count(*) AS n FROM corners GROUP BY id)
-            SELECT deg.id,
-                   round(CASE WHEN deg.deg >= 2
-                         THEN 2.0 * coalesce(tpv.n, 0) / (deg.deg * (deg.deg - 1))
-                         ELSE 0.0 END, 8) AS lcc
-            FROM deg LEFT JOIN tpv ON deg.id = tpv.id
-        """,
+        "local_clustering": _LCC_SQL,
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (
                 SELECT user_id, event_id, ts, event_type,
@@ -1215,6 +1239,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "burt_constraint": _linkpred.constraint_sql(_CLEAN),
         "curate_corpus": _corpus.curate_sql(),
+        "avg_local_clustering": (
+            f"SELECT round(avg(lcc), 8) AS avg_lcc FROM ({_LCC_SQL})"
+        ),
+        "weighted_diversity": _metrics.diversity_sql(
+            f"""SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       CAST(sum(weight) AS DOUBLE) AS w
+                FROM ({_graphops.contract_vertices_sql(_CLEAN, "? % 50")})
+                WHERE src <> dst GROUP BY 1, 2"""
+        ),
         "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
         "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
         "reciprocal_edges": f"""

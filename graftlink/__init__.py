@@ -67,7 +67,7 @@ from graftlink.graphops import (
     graph_union,
     induced_subgraph,
 )
-from graftlink.metrics import assortativity_nominal, dyad_census
+from graftlink.metrics import assortativity_nominal, diversity, dyad_census
 from graftlink.mis import greedy_coloring, maximal_independent_set
 from graftlink.triads import triad_census
 from graftlink.triangles import (
@@ -136,6 +136,7 @@ __all__ = [
     "assortativity_nominal",
     "constraint",
     "curate",
+    "diversity",
 ]
 
 __version__ = "0.1.0"

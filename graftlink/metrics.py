@@ -332,3 +332,59 @@ def assortativity_nominal_sql(clean: str, labels_sql: str) -> str:
         SELECT round(((SELECT v FROM eii) - (SELECT v FROM ab))
                      / (1.0 - (SELECT v FROM ab)), 6) AS assortativity
     """
+
+def diversity(
+    edges: DataFrame, weight_col: str = "weight"
+) -> DataFrame:
+    """DF[id, diversity] — igraph_diversity: per-vertex Shannon
+    entropy of incident edge weights normalized by log(degree), over
+    the undirected weighted view (parallel directions summed).
+    Degree-1 vertices get 0 (igraph convention); isolated vertices
+    are omitted (igraph returns NaN).
+
+    Entropy as partial-agg sums only: with S = Σw and
+    T = Σ w·ln w, H = ln S − T/S — so a hub's incident weights
+    combine map-side; no per-vertex collections."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    inc = und.select(F.col("a").alias("id"), "w").unionByName(
+        und.select(F.col("b").alias("id"), "w")
+    )
+    agg = inc.groupBy("id").agg(
+        F.count("*").alias("_k"),
+        F.sum("w").alias("_s"),
+        F.sum(F.col("w") * F.log("w")).alias("_t"),
+    )
+    h = F.log("_s") - F.col("_t") / F.col("_s")
+    return agg.select(
+        "id",
+        F.round(
+            F.when(F.col("_k") >= 2, h / F.log("_k")).otherwise(F.lit(0.0)), 6
+        ).alias("diversity"),
+    )
+
+
+def diversity_sql(weighted_und_sql: str) -> str:
+    """DuckDB twin; weighted_und_sql -> (a, b, w) canonical a<b."""
+    return f"""
+        WITH und AS ({weighted_und_sql}),
+        inc AS (
+            SELECT a AS id, w FROM und UNION ALL SELECT b, w FROM und
+        ),
+        agg AS (
+            SELECT id, count(*) AS k, sum(w) AS s, sum(w * ln(w)) AS t
+            FROM inc GROUP BY id
+        )
+        SELECT id,
+               round(CASE WHEN k >= 2 THEN (ln(s) - t / s) / ln(k)
+                     ELSE 0.0 END, 6) AS diversity
+        FROM agg
+    """

@@ -66,3 +66,37 @@ def test_assortativity_nominal_perfect(spark):
     )
     got = assortativity_nominal(edges_df(spark, pairs), labels).collect()[0]
     assert got.assortativity == pytest.approx(1.0)
+
+
+def test_diversity_entropy_replay(spark):
+    import math
+
+    from graftlink.metrics import diversity
+
+    rows = [(0, 1, 2.0), (0, 2, 1.0), (0, 3, 1.0), (1, 2, 5.0), (4, 0, 3.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = {r.id: r.diversity for r in diversity(df).collect()}
+    nbrs = {}
+    for a, b, w in rows:
+        nbrs.setdefault(a, {})[b] = nbrs.setdefault(a, {}).get(b, 0) + w
+        nbrs.setdefault(b, {})[a] = nbrs.setdefault(b, {}).get(a, 0) + w
+    for v, ws in nbrs.items():
+        k = len(ws)
+        if k < 2:
+            want = 0.0
+        else:
+            s = sum(ws.values())
+            h = -sum((w / s) * math.log(w / s) for w in ws.values())
+            want = h / math.log(k)
+        assert got[v] == round(want, 6), (v, got[v], want)
+
+
+def test_diversity_uniform_weights_is_one(spark):
+    # equal weights -> entropy is maximal -> diversity 1
+    rows = [(0, d, 1.0) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    from graftlink.metrics import diversity
+
+    got = {r.id: r.diversity for r in diversity(df).collect()}
+    assert got[0] == 1.0
+    assert all(got[d] == 0.0 for d in range(1, 6))
