@@ -311,6 +311,13 @@ def main():
     queries["walks_1k_10step"] = round(time.monotonic() - t0, 2)
     log(f"walks_1k_10step {queries['walks_1k_10step']}s")
 
+    from graftlink.truss import trussness
+
+    t0 = time.monotonic()
+    t_max = trussness(edges).agg(F.max("trussness")).collect()[0][0]
+    queries["trussness_hindex"] = round(time.monotonic() - t0, 2)
+    log(f"trussness: t_max={t_max} {queries['trussness_hindex']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -394,6 +401,9 @@ def main():
             f"figure | see graftlink/mis.py |\n"
             f"| seeded walks (1k walkers x 10 steps, broadcast frontier) | "
             f"{queries['walks_1k_10step']} s | local[{CPUS}] |\n"
+            f"| edge trussness (h-index propagation) | "
+            f"{queries['trussness_hindex']} s (t_max={t_max}) "
+            f"| local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
             f"| cosine top-k (Arrow matmul) | {queries['cosine_topk_arrow']} s "
