@@ -313,3 +313,29 @@ def test_trussness_incidence_join_sort_free(spark):
 
     src = open(t.__file__).read()
     assert src.count('hint("shuffle_hash")') >= 3
+
+
+def test_curate_pipeline_prunes_scan_columns(spark, tmp_path):
+    """The composed curation plan reads ONLY (doc_id, text) for the
+    text stages and (doc_id, source, n_chars) for the cap stage —
+    unused document columns (lang, ...) never leave the parquet scan."""
+    import re
+
+    from graftlink.corpus import curate
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"words here {i}", "en", f"s{i % 2}", 10) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    q = curate(spark.read.parquet(p))
+    plan = plan_of(q)
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, "no parquet scans found in plan"
+    for s in schemas:
+        assert "lang" not in s, s
+        # every scan is one of the two minimal projections
+        assert s in (
+            "struct<doc_id:bigint,text:string>",
+            "struct<doc_id:bigint,source:string,n_chars:bigint>",
+        ), s
