@@ -13,7 +13,10 @@ Jones–Plassmann equivalent of greedy over a fixed random order).
 Determinism: both algorithms replace the random permutation with a
 portable priority hash pri(v) = ((v mod P) * A + C) mod P — a
 bijection on [0, P) (A coprime to the prime P), so priorities are
-DISTINCT for any dense id space and every tie-break is total. With a
+DISTINCT for any dense id space. For sparse 64-bit id spaces the hash
+can collide mod P, so every comparison uses the PAIR (pri(v), v) —
+the id tie-break keeps the order strictly total in both engines
+(struct ordering in Spark, ROW() comparison in DuckDB). With a
 fixed priority order:
 
 - Luby's fixpoint == the sequential greedy MIS over ascending
@@ -119,13 +122,20 @@ def maximal_independent_set(
         if active.isEmpty():
             break
         # min active-neighbor priority per active vertex (nb is kept
-        # filtered to active×active, so no status join is needed)
+        # filtered to active×active, so no status join is needed).
+        # Priority is the (hash, id) PAIR: the hash is bijective only
+        # for ids < P, so for 64-bit id spaces the id tie-break keeps
+        # the order strictly total — adjacent hash-collisions would
+        # otherwise stall Luby (neither vertex a strict local min).
         minp = nb.groupBy(F.col("u").alias("id")).agg(
-            F.min(_pri(F.col("v"))).alias("_mn")
+            F.min(
+                F.struct(_pri(F.col("v")).alias("_p"), F.col("v").alias("_i"))
+            ).alias("_mn")
         )
+        own = F.struct(_pri(F.col("id")).alias("_p"), F.col("id").alias("_i"))
         new_in = (
             active.join(minp, "id", "left")
-            .where(F.col("_mn").isNull() | (_pri(F.col("id")) < F.col("_mn")))
+            .where(F.col("_mn").isNull() | (own < F.col("_mn")))
             .select("id")
             .localCheckpoint(eager=True)
         )
@@ -251,12 +261,22 @@ def greedy_coloring(
     for rnd in range(start_round, max_rounds + 1):
         if uncolored.isEmpty():
             break
+        # (degree, hash, id) priority — id tie-break keeps the order
+        # strictly total even when the hash collides mod P (64-bit ids)
         maxp = nb_unc.groupBy(F.col("u").alias("id")).agg(
-            F.max(F.struct(F.col("_dv"), _pri(F.col("v")).alias("_p"))).alias(
-                "_mx"
-            )
+            F.max(
+                F.struct(
+                    F.col("_dv"),
+                    _pri(F.col("v")).alias("_p"),
+                    F.col("v").alias("_i"),
+                )
+            ).alias("_mx")
         )
-        own = F.struct(F.col("_d").alias("_dv"), _pri(F.col("id")).alias("_p"))
+        own = F.struct(
+            F.col("_d").alias("_dv"),
+            _pri(F.col("id")).alias("_p"),
+            F.col("id").alias("_i"),
+        )
         cand = (
             uncolored.join(maxp, "id", "left")
             .where(F.col("_mx").isNull() | (own > F.col("_mx")))
@@ -333,15 +353,18 @@ def mis_sql(clean: str, rounds: int = 64) -> str:
     pri_s = _pri_sql("s.id")
     pri_n2 = _pri_sql("n2.v")
     pri_nv = _pri_sql("n.v")
+    # row comparison (hash, id) mirrors the Spark struct tie-break
     new_in_self = f"""s.st = 'a' AND NOT EXISTS (
         SELECT 1 FROM nb n JOIN state t ON t.id = n.v
-        WHERE n.u = s.id AND t.st = 'a' AND {pri_v} < {pri_s})"""
+        WHERE n.u = s.id AND t.st = 'a'
+          AND ({pri_v}, n.v) < ({pri_s}, s.id))"""
     new_in_nbr = f"""EXISTS (
         SELECT 1 FROM nb n JOIN state t ON t.id = n.v
         WHERE n.u = s.id AND t.st = 'a'
           AND NOT EXISTS (
             SELECT 1 FROM nb n2 JOIN state t2 ON t2.id = n2.v
-            WHERE n2.u = n.v AND t2.st = 'a' AND {pri_n2} < {pri_nv}))"""
+            WHERE n2.u = n.v AND t2.st = 'a'
+              AND ({pri_n2}, n2.v) < ({pri_nv}, n.v)))"""
     return f"""
         WITH RECURSIVE
         clean AS MATERIALIZED ({clean}),
@@ -374,7 +397,9 @@ def mis_sql(clean: str, rounds: int = 64) -> str:
 def coloring_sql(clean: str, rounds: int = 40) -> str:
     # Largest-degree-first with hash tie-break, folded into ONE scalar
     # prio = d * 2^31 + hash (hash < P < 2^31, so the fold is exactly
-    # the lexicographic (d, hash) order).
+    # the lexicographic (d, hash) order); comparisons add the vertex
+    # id as a final ROW() tie-break, mirroring the Spark struct, so
+    # the order stays total even when the hash collides mod P.
     #
     # Shape note: UNROLLED bounded CTE layers (the random_walks_sql
     # pattern), NOT a recursive CTE — DuckDB 1.x mis-evaluates this
@@ -392,12 +417,12 @@ def coloring_sql(clean: str, rounds: int = 40) -> str:
         st{t} AS MATERIALIZED (
             SELECT s.id, s.prio,
                    CASE WHEN s.color IS NOT NULL THEN s.color
-                        WHEN mx.m IS NULL OR s.prio > mx.m
+                        WHEN mx.m IS NULL OR ROW(s.prio, s.id) > mx.m
                             THEN CAST(coalesce(mm.c, 0) AS INT)
                         ELSE NULL END AS color
             FROM {prev} s
             LEFT JOIN (
-                SELECT n.u, max(n.prio_v) AS m
+                SELECT n.u, max(ROW(n.prio_v, n.v)) AS m
                 FROM nbp n JOIN {prev} t ON t.id = n.v
                 WHERE t.color IS NULL GROUP BY n.u
             ) mx ON mx.u = s.id

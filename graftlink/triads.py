@@ -159,15 +159,19 @@ def triad_census(edges: DataFrame) -> DataFrame:
     )
     od, idg, md = F.col("od"), F.col("idg"), F.col("md")
     d = od + idg + md
+    # Exact integer arithmetic throughout: C(x,2) sums are kept as
+    # Σ x·(x-1) in bigint and halved driver-side (the product is always
+    # even) so counts stay exact past 2^53 — the double-division form
+    # loses integer precision at the 1e9-edge design point.
     sums = per_v.agg(
-        F.sum(od * (od - 1) / 2).alias("r021D"),
-        F.sum(idg * (idg - 1) / 2).alias("r021U"),
-        F.sum(od * idg).alias("r021C"),
-        F.sum(md * od).alias("r111U"),
-        F.sum(md * idg).alias("r111D"),
-        F.sum(md * (md - 1) / 2).alias("r201"),
-        F.sum((od + idg) * (d - 1)).alias("sum_d_asym"),
-        F.sum(md * (d - 1)).alias("sum_d_mut"),
+        F.sum((od * (od - 1)).cast("long")).alias("r021D2"),
+        F.sum((idg * (idg - 1)).cast("long")).alias("r021U2"),
+        F.sum((od * idg).cast("long")).alias("r021C"),
+        F.sum((md * od).cast("long")).alias("r111U"),
+        F.sum((md * idg).cast("long")).alias("r111D"),
+        F.sum((md * (md - 1)).cast("long")).alias("r2012"),
+        F.sum(((od + idg) * (d - 1)).cast("long")).alias("sum_d_asym"),
+        F.sum((md * (d - 1)).cast("long")).alias("sum_d_mut"),
         F.count("*").alias("n"),
     ).collect()[0]
     pair_counts = codes.agg(
@@ -202,8 +206,12 @@ def triad_census(edges: DataFrame) -> DataFrame:
     # 4. assemble driver-side (<= 64 rows + scalars)
     out = {name: 0 for name in TRIAD_NAMES}
     raw = {
-        "021D": sums["r021D"], "021U": sums["r021U"], "021C": sums["r021C"],
-        "111U": sums["r111U"], "111D": sums["r111D"], "201": sums["r201"],
+        "021D": (sums["r021D2"] or 0) // 2,
+        "021U": (sums["r021U2"] or 0) // 2,
+        "021C": sums["r021C"] or 0,
+        "111U": sums["r111U"] or 0,
+        "111D": sums["r111D"] or 0,
+        "201": (sums["r2012"] or 0) // 2,
     }
     cn_asym = cn_mut = 0
     for row in masks:
@@ -214,12 +222,12 @@ def triad_census(edges: DataFrame) -> DataFrame:
         cn_asym += n_asym * row["cnt"]
         cn_mut += n_mut * row["cnt"]
     for typ, v in raw.items():
-        out[typ] += int(round(v))
+        out[typ] += int(v)
     n = sums["n"]
     asym, mut = pair_counts["asym"] or 0, pair_counts["mut"] or 0
     # Σ_{pairs of class X} (d(a)-1)+(d(b)-1) = Σ_v (incident X pairs)·(d(v)-1)
-    out["012"] += asym * (n - 2) - int(round(sums["sum_d_asym"])) + cn_asym
-    out["102"] += mut * (n - 2) - int(round(sums["sum_d_mut"])) + cn_mut
+    out["012"] += asym * (n - 2) - int(sums["sum_d_asym"] or 0) + cn_asym
+    out["102"] += mut * (n - 2) - int(sums["sum_d_mut"] or 0) + cn_mut
     out["003"] = n * (n - 1) * (n - 2) // 6 - sum(
         out[x] for x in TRIAD_NAMES if x != "003"
     )

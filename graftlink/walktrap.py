@@ -87,12 +87,20 @@ def _cut(df: DataFrame) -> DataFrame:
     planning O(1). The data is already materialized by the eager
     checkpoint; only the bogus statistic is discarded."""
     ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
-    spk = ck.sparkSession
-    jnew = spk._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(jnew, spk)
+    try:
+        # Private PySpark internals (tested on Spark 4.1.x): _jdf,
+        # internalCreateDataFrame, queryExecution().toRdd(). Not a
+        # stable API — on any future Spark where they move, fall back
+        # to the plain checkpoint (correct, merely slower per round
+        # because the propagated stats grow) rather than crash.
+        jdf = ck._jdf
+        spk = ck.sparkSession
+        jnew = spk._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spk)
+    except Exception:  # pragma: no cover - Spark-version drift guard
+        return ck
 
 
 def _walk_probs(wedges: DataFrame, t: int) -> DataFrame:
