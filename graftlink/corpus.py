@@ -261,18 +261,24 @@ def curate(
     domain_col: str = "source",
     hash_mode: str = "portable",
 ) -> DataFrame:
-    """DF[doc_id, source, split] — the full curation pipeline as ONE
-    DataFrame program, the order every published web-corpus recipe
-    uses: quality filter → exact dedup (keep min id per text) →
-    MinHash near-dup drop (greedy: of each detected pair a<b, drop b
-    — deterministic, not transitive clustering, documented deviation)
+    """DF[doc_id, source, split] — the full curation pipeline, the
+    order every published web-corpus recipe uses: quality filter →
+    exact dedup (keep min id per text) → MinHash near-dup CLUSTER
+    drop (connected components over the near-dup pair graph, keeper =
+    min doc_id per component — the GPT-3/Gopher cluster-keeper recipe;
+    round 4 replaced the greedy per-pair drop, which could
+    cascade-delete a doc whose designated keeper was itself dropped)
     → per-domain cap (priority: longer docs first) → train/val/test
     split assignment.
 
-    Each stage is the already-tested operator; composing them stays
-    one lazy plan end-to-end, so Catalyst prunes documents columns to
+    Each stage is the already-tested operator. The document-side
+    program is one lazy plan — Catalyst prunes documents columns to
     (id, text, source, n_chars) at the scan and the text column never
-    survives past the dedup stages."""
+    survives past the dedup stages; the only materialized side input
+    is the near-dup PAIR graph (pairs << corpus by construction),
+    whose component labels come from the engine's own
+    connected_components loop."""
+    from graftlink.components import connected_components
     from graftlink.dedup import exact_dedup, near_dup_minhash
     from graftlink.sampling import assign_splits
     from graftlink.textops import quality_scores
@@ -291,9 +297,17 @@ def curate(
         s2, text_col, id_col,
         threshold=near_dup_threshold, hash_mode=hash_mode,
     )
-    s3 = s2.join(
-        nd.select(F.col("b").alias(id_col)).distinct(), id_col, "left_anti"
+    # cluster the near-dup pairs; component label (renumber=False) IS
+    # the min doc_id of the cluster = the canonical keeper
+    comp = connected_components(
+        nd.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        renumber=False,
+        checkpoint_mode="local",
     )
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    s3 = s2.join(drop, id_col, "left_anti")
     s4 = per_domain_cap(
         s3.select(id_col, domain_col, "n_chars"),
         domain_col,
@@ -327,7 +341,8 @@ def curate_sql(
         "SELECT doc_id, source FROM s4", "doc_id", split_weights
     )
     return f"""
-        WITH q AS MATERIALIZED ({quality_scores_sql()}),
+        WITH RECURSIVE
+        q AS MATERIALIZED ({quality_scores_sql()}),
         s1 AS MATERIALIZED (
             SELECT d.* FROM documents d
             JOIN q ON q.id = d.doc_id AND q.quality >= {quality_min}
@@ -338,9 +353,24 @@ def curate_sql(
               ON kk.k = d.doc_id
         ),
         nd AS MATERIALIZED ({nd}),
+        -- near-dup CLUSTER canonicalization (mirrors the Spark side's
+        -- connected_components over the pair graph): transitive
+        -- closure of the symmetric pair set, keeper = min reachable
+        -- id; the closure runs on pairs only (pairs << corpus)
+        undp AS MATERIALIZED (
+            SELECT a, b FROM nd UNION SELECT b, a FROM nd
+        ),
+        reach(id, r) AS (
+            SELECT a, b FROM undp
+            UNION
+            SELECT re.id, u.b FROM reach re JOIN undp u ON u.a = re.r
+        ),
+        dropped AS MATERIALIZED (
+            SELECT id FROM reach GROUP BY id HAVING min(r) < id
+        ),
         s3 AS MATERIALIZED (
             SELECT * FROM s2
-            WHERE doc_id NOT IN (SELECT b FROM nd)
+            WHERE doc_id NOT IN (SELECT id FROM dropped)
         ),
         s4 AS MATERIALIZED ({capped})
         SELECT doc_id, source, split FROM ({split})

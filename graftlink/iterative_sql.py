@@ -418,6 +418,96 @@ def sssp_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
     """
 
 
+def bfs_parents_sql(
+    clean: str, source: int = 0, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """BFS distances + min-predecessor parent — the SAME non-recursive
+    post-pass as graftlink.paths._parent_join: parent(v) = min{u :
+    (u,v) in E, dist(u)+1 == dist(v)}, NULL at the source."""
+    return f"""
+        WITH dist AS MATERIALIZED ({bfs_sql(clean, source, max_depth)}),
+        e AS MATERIALIZED ({clean}),
+        par AS (
+            SELECT e.dst AS id, min(e.src) AS parent
+            FROM e
+            JOIN dist a ON a.id = e.src
+            JOIN dist b ON b.id = e.dst AND b.dist = a.dist + 1
+            GROUP BY e.dst
+        )
+        SELECT d.id, d.dist, p.parent
+        FROM dist d LEFT JOIN par p ON p.id = d.id
+    """
+
+
+def sssp_parents_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
+    """Weighted SSSP distances + min-predecessor parent; the equality
+    dist(u) + w == dist(v) is exact (dist(v) is a min over exactly
+    these sums in both engines)."""
+    return f"""
+        WITH dist AS MATERIALIZED ({sssp_sql(clean, source, max_cost)}),
+        e AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(src % 7 + dst % 3 + 1 AS DOUBLE) AS w
+            FROM ({clean})
+        ),
+        par AS (
+            SELECT e.dst AS id, min(e.src) AS parent
+            FROM e
+            JOIN dist a ON a.id = e.src
+            JOIN dist b ON b.id = e.dst AND b.dist = a.dist + e.w
+            GROUP BY e.dst
+        )
+        SELECT d.id, d.dist, p.parent
+        FROM dist d LEFT JOIN par p ON p.id = d.id
+    """
+
+
+def multi_source_parents_sql(
+    clean: str, sources: list[int], max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Batched BFS trees: the same min-predecessor post-pass per
+    source over the batched distances."""
+    return f"""
+        WITH dist AS MATERIALIZED (
+            {multi_source_bfs_sql(clean, sources, max_depth)}
+        ),
+        e AS MATERIALIZED ({clean}),
+        par AS (
+            SELECT a.source, e.dst AS id, min(e.src) AS parent
+            FROM e
+            JOIN dist a ON a.id = e.src
+            JOIN dist b ON b.source = a.source
+                       AND b.id = e.dst AND b.dist = a.dist + 1
+            GROUP BY a.source, e.dst
+        )
+        SELECT d.source, d.id, d.dist, p.parent
+        FROM dist d
+        LEFT JOIN par p ON p.source = d.source AND p.id = d.id
+    """
+
+
+def shortest_path_sql(
+    clean: str, source: int, target: int, max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Walk the min-parent tree back from `target` (empty when
+    unreachable); step = dist along the path (BFS: step == dist)."""
+    return f"""
+        WITH RECURSIVE
+        pts AS MATERIALIZED ({bfs_parents_sql(clean, source, max_depth)}),
+        walk(step, id, dist) AS (
+            SELECT dist, id, dist FROM pts WHERE id = {target}
+            UNION ALL
+            SELECT w.step - 1, p.parent, p2.dist
+            FROM walk w
+            JOIN pts p ON p.id = w.id
+            JOIN pts p2 ON p2.id = p.parent
+            WHERE p.parent IS NOT NULL
+        )
+        SELECT CAST(step AS INT) AS step, id, CAST(dist AS INT) AS dist
+        FROM walk
+    """
+
+
 def pseudo_diameter_sql(
     clean: str, start: int = 0, max_depth: int = BFS_MAX_DEPTH
 ) -> str:

@@ -86,10 +86,46 @@ def core_numbers(
     vertices: DataFrame | None = None,
     buckets: int | None = None,
     max_rounds: int = 200,
+    unroll: int = 1,
 ) -> DataFrame:
     """DF[id, core] — the largest k such that id is in the k-core,
     via h-index propagation (one superstep loop, see module doc).
-    Isolated vertices (only in `vertices`) get core 0."""
+    Isolated vertices (only in `vertices`) get core 0.
+
+    Round-4 kernel: ONE exchange per superstep. The message stream is
+    explicitly repartitioned on dst; hash(dst) partitioning satisfies
+    BOTH downstream groupings (groupBy(dst,h) then groupBy(dst) — a
+    HashPartitioning whose keys are a subset of the grouping keys
+    needs no further Exchange), so the (dst,h) count, the bin
+    collect, and the h-index array fold all pipeline inside the same
+    post-shuffle stage. Round 3 paid two chained agg exchanges here
+    (hash(dst,h) then hash(dst)); round 2 paid one exchange plus a
+    full per-partition SORT for a row_number Window. Interleaved A/B
+    on the 2e6-edge bench graph (BENCH/AB_r04.md, medians of 3):
+    fused 23.3s vs window 23.4s vs two-shuffle 26.2s — fused matches
+    the window kernel's wall at this scale (per-round driver overhead
+    dominates locally) while keeping the shape that wins at 100x: one
+    exchange of narrow rows, no per-partition sort, hub fan-in
+    absorbed by hash aggregation. Two rejected r4 experiments, both
+    measured in the same harness: a delta-frontier kernel (recompute
+    only neighbors of changed vertices — Montresor's message
+    discipline) lost outright at 72s median because the frontier
+    decays too slowly on a power-law graph to amortize its extra
+    semi-join + distinct per round; and unroll=2 (below) measured
+    27.7s.
+
+    `unroll` evaluates that many h-index updates lazily per
+    materialized job (state' = H(H(state)) for unroll=2): the
+    supersteps still exchange once each, but persist / convergence
+    stats / scheduling overhead is paid once per block. Measured
+    SLOWER at unroll=2 (27.7s vs 23.3s — the doubled-depth lazy plan
+    costs more in optimizer/AQE work than the saved job overhead), so
+    the default is 1; the parameter stays for re-measurement on real
+    multi-executor clusters where per-job driver latency is higher.
+    The block is exact regardless: the operator is monotone and
+    idempotent past its fixpoint, and the block-level changed count
+    hits 0 exactly when the round-level one does.
+    """
     from graftlink.vertices import vertex_universe
 
     spark = edges.sparkSession
@@ -100,7 +136,13 @@ def core_numbers(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     adj = pack_adjacency(sym, buckets=b).persist()
-    mgr = CheckpointManager(None, "coreness", spark, mode="local", buckets=b)
+    # a block references `state` ~5x in its lazy plan (2 per unrolled
+    # superstep + the prev_h join), so truncate every 2 blocks (25x
+    # plan copies max) instead of the default 4 (625x — the walktrap
+    # plan-blowup class)
+    mgr = CheckpointManager(
+        None, "coreness", spark, mode="local", buckets=b, truncate_every=2
+    )
 
     # out_deg of the symmetric pack IS the simple-graph degree; taking
     # it from adj avoids a second degree scan (salt-split hub rows all
@@ -125,35 +167,32 @@ def core_numbers(
         .repartition(b, "id")
     )
 
-    for it in range(max_rounds):
+    def step(cur: DataFrame) -> DataFrame:
+        """One lazy h-index superstep: cur[id,h] -> [id,h]. All joins
+        are colocated shuffle_hash (adj hash(src,b), state hash(id,b),
+        agg output hash(dst,b)); the single Exchange is the explicit
+        message repartition."""
         joined = adj.select("src", "neighbors").join(
-            state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
+            cur.hint("shuffle_hash"), adj["src"] == cur["id"], "inner"
         ).select("neighbors", "h")
         msgs = joined.select(F.explode("neighbors").alias("dst"), "h")
         # H(v) = h-index of the neighbor estimates, via a bounded
-        # counting histogram instead of a per-dst row_number sort
-        # (round 2's Window put every hub message in ONE reducer
-        # partition and sorted it there — the skew class the salted
-        # pack exists to kill, and the engine's slowest bench row).
-        # Two skew-immune steps:
-        #   1. groupBy(dst, h).count — map-side partial agg absorbs the
-        #      hub fan-in; rows per dst <= min(deg, #distinct h) and
-        #      #distinct h <= 2*sqrt(m) globally (sum of d distinct
-        #      degree values >= d(d+1)/2), collapsing toward ~k_max as
-        #      the estimates tighten. The global clip_b init bounds
-        #      every bin value at sqrt(2m)+1.
-        #   2. per-dst argmax over the sorted distinct bins:
-        #      H = max_j min(v_j, suffix_count_j) — an array fold over
-        #      the bins, JVM-side, no Window. (No per-dst value clip:
-        #      H <= current h(dst) already holds by the monotone
-        #      decrease of the h-sequence, so clipping bins at h(dst)
-        #      cannot change H — it would only add a join per round.)
-        cnts = msgs.groupBy("dst", "h").agg(F.count("*").alias("c"))
+        # counting histogram: rows per dst after the count step
+        # <= min(deg, #distinct h), #distinct h <= 2*sqrt(m) globally,
+        # bins clipped at clip_b — skew-immune, no Window, no sort of
+        # the m-row stream.
+        cnts = (
+            msgs.repartition(b, "dst")
+            .groupBy("dst", "h")
+            .agg(F.count("*").alias("c"))
+        )
         hist = cnts.groupBy("dst").agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("h").alias("hc"), "c")), asc=False
             ).alias("bins")
         )
+        # per-dst argmax over the desc-sorted distinct bins:
+        # H = max_j min(v_j, suffix_count_j) — a JVM array fold.
         hh = hist.select(
             "dst",
             F.aggregate(
@@ -171,15 +210,19 @@ def core_numbers(
                 lambda acc: acc["best"],
             ).alias("new_h"),
         )
-        new_state = state.join(
-            hh.hint("shuffle_hash"), state["id"] == hh["dst"], "left"
-        ).select(
-            "id",
-            F.coalesce("new_h", F.col("h")).alias("h"),
-            F.col("h").alias("prev_h"),
-        )
+        return cur.join(
+            hh.hint("shuffle_hash"), cur["id"] == hh["dst"], "left"
+        ).select("id", F.coalesce("new_h", F.col("h")).alias("h"))
+
+    for blk, it in enumerate(range(0, max_rounds, unroll)):
+        nxt = state
+        for _ in range(unroll):
+            nxt = step(nxt)
+        new_state = nxt.withColumnRenamed("h", "new_h").join(
+            state.hint("shuffle_hash"), "id"
+        ).select("id", F.col("new_h").alias("h"), F.col("h").alias("prev_h"))
         new_state, row = mgr.save(
-            new_state, it, "id", counters={"iteration": it},
+            new_state, blk, "id", counters={"iteration": it},
             stats_cols=[
                 F.sum((F.col("h") != F.col("prev_h")).cast("long")).alias("c")
             ],

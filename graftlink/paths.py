@@ -265,6 +265,153 @@ def sssp_weighted(
     return result
 
 
+def _parent_join(
+    e: DataFrame, d: DataFrame, step_cost, by_source: bool = False
+) -> DataFrame:
+    """Min-parent tree edges over converged distances: parent(v) =
+    min{u : (u,v) in E and dist(u) + cost(u,v) == dist(v)} — a pure
+    post-pass on the distance table, so the choice is a deterministic
+    function of (graph, source), independent of superstep order, and
+    SQL-expressible WITHOUT recursion. The fp equality in the weighted
+    case is exact: dist(v) is a min over exactly these dist(u)+w
+    doubles, so it is bitwise equal to at least one of them (and the
+    DuckDB twin performs the same additions).
+
+    Returns d extended with a `parent` column (NULL at sources /
+    unreachable rows)."""
+    if by_source:
+        ds = d.select(
+            F.col("source").alias("_s1"),
+            F.col("id").alias("_u"),
+            F.col("dist").alias("_ds"),
+        )
+        dd = d.select(
+            F.col("source").alias("_s2"),
+            F.col("id").alias("_v"),
+            F.col("dist").alias("_dd"),
+        )
+        parents = (
+            e.join(ds, e["src"] == ds["_u"])
+            .join(dd, (ds["_s1"] == dd["_s2"]) & (e["dst"] == dd["_v"]))
+            .where((F.col("_ds") + step_cost) == F.col("_dd"))
+            .groupBy(F.col("_s1").alias("source"), F.col("_v").alias("id"))
+            .agg(F.min("src").alias("parent"))
+        )
+        keys = ["source", "id"]
+    else:
+        ds = d.select(F.col("id").alias("_u"), F.col("dist").alias("_ds"))
+        dd = d.select(F.col("id").alias("_v"), F.col("dist").alias("_dd"))
+        parents = (
+            e.join(ds, e["src"] == ds["_u"])
+            .join(dd, e["dst"] == dd["_v"])
+            .where((F.col("_ds") + step_cost) == F.col("_dd"))
+            .groupBy(F.col("_v").alias("id"))
+            .agg(F.min("src").alias("parent"))
+        )
+        keys = ["id"]
+    return d.join(parents, on=keys, how="left").select(*keys, "dist", "parent")
+
+
+def bfs_parents(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 100,
+    directed: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, dist, parent] — BFS distances plus the min-predecessor
+    shortest-path-tree parent (NULL at the source). igraph surface:
+    the `parents` output of igraph_bfs / get_shortest_paths
+    (igraph@0.10.x src/paths/unweighted.c [unverified split])."""
+    d = bfs_distances(edges, source, max_depth, directed, buckets)
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return _parent_join(e.distinct(), d, F.lit(1))
+
+
+def multi_source_parents(
+    edges: DataFrame,
+    sources: list[int],
+    max_depth: int = 100,
+    directed: bool = True,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[source, id, dist, parent] — batched BFS trees: the same
+    min-predecessor post-pass per source over ONE multi-source BFS."""
+    d = multi_source_bfs(edges, sources, max_depth, directed, buckets)
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    return _parent_join(e.distinct(), d, F.lit(1), by_source=True)
+
+
+def sssp_parents(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_iter: int = 200,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, dist, parent] — weighted SSSP distances plus the
+    min-predecessor shortest-path-tree parent (see _parent_join for
+    why the fp equality is exact)."""
+    d = sssp_weighted(edges, source, weight_col, max_iter, buckets)
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    )
+    return _parent_join(e, d, F.col("_w"))
+
+
+def shortest_path(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    directed: bool = True,
+    weighted: bool = False,
+    weight_col: str = "weight",
+    max_depth: int = 100,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[step, id, dist] — ONE concrete shortest source->target path
+    (igraph get_shortest_paths for a single pair), reconstructed by
+    walking the min-parent tree back from `target`: dist(target)
+    frontier-of-one lookups on the persisted parent table (each a
+    1-row driver sync — the path itself is inherently sequential
+    O(path-length) output, not a distributed result). Empty when
+    `target` is unreachable. step = 0 (source) .. hops (target);
+    dist is hops for BFS, cumulative weight for weighted=True."""
+    spark = edges.sparkSession
+    if weighted:
+        pts = sssp_parents(edges, source, weight_col, max_depth, buckets)
+    else:
+        pts = bfs_parents(edges, source, max_depth, directed, buckets)
+    pts = pts.persist()
+    schema = f"step int, id long, dist {'double' if weighted else 'int'}"
+    try:
+        cur = pts.where(F.col("id") == target).collect()
+        if not cur:
+            return spark.createDataFrame([], schema)
+        rev = []  # (id, dist) target -> source
+        node = cur[0]
+        while True:
+            rev.append((node["id"], node["dist"]))
+            if node["parent"] is None:
+                break
+            node = pts.where(F.col("id") == node["parent"]).collect()[0]
+        rows = [
+            (step, vid, dist)
+            for step, (vid, dist) in enumerate(reversed(rev))
+        ]
+        return spark.createDataFrame(rows, schema)
+    finally:
+        pts.unpersist()
+
+
 def _mode_edges(edges: DataFrame, mode: str) -> tuple[DataFrame, bool]:
     """igraph mode= handling: OUT follows edges, IN reverses them,
     ALL ignores direction. Returns (edge view, directed flag)."""

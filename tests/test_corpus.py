@@ -185,3 +185,44 @@ def test_curate_pipeline_stage_consistency(spark):
     nd = near_dup_minhash(docs, threshold=0.5)
     for r in nd.collect():
         assert not (r.a in ids and r.b in ids) or r.a == r.b
+
+
+def test_curate_near_dup_cluster_keeper(spark):
+    """Round-4 cluster canonicalization (verdict Next #5): near-dup
+    components keep exactly ONE doc — the min doc_id — even when the
+    pairs form a chain/star through a shared middle doc. The old
+    greedy per-pair drop (drop every b of a pair a<b) kept BOTH outer
+    docs of a star 1~5, 2~5 (they never appear as a b), leaking two
+    transitive near-dups into the corpus."""
+    from graftlink.corpus import curate
+    from graftlink.dedup import near_dup_minhash
+
+    words = [f"tok{i:03d}" for i in range(200)]
+
+    def mk(lo):
+        return " ".join(words[lo : lo + 40])
+
+    # word-3-gram shingle overlap at offset 7: J(inner) = 31/45 ~ 0.69
+    # >= 0.5; outer offset 14: J = 24/52 ~ 0.46 < 0.5 -> 1~5 and 2~5
+    # but NOT 1~2. Offsets (10, 17, 24) chosen so BOTH inner pairs are
+    # also LSH *candidates* (banding is deterministic but not
+    # recall-1 at J~0.69; verified by the nd assertion below).
+    rows = [
+        (1, mk(10), "s0", len(mk(10))),
+        (2, mk(24), "s0", len(mk(24))),
+        (5, mk(17), "s0", len(mk(17))),
+        (7, "completely different prose about rivers and bridges at dusk",
+         "s0", 61),
+    ]
+    docs = _docs_df(spark, rows)
+    nd = {(r.a, r.b) for r in near_dup_minhash(docs, threshold=0.5).collect()}
+    assert nd == {(1, 5), (2, 5)}, nd
+    out = {
+        r.doc_id
+        for r in curate(
+            docs, quality_min=0.0, near_dup_threshold=0.5, domain_cap=100
+        ).collect()
+    }
+    # exactly one survivor of the {1,2,5} cluster: the min id
+    assert out & {1, 2, 5} == {1}, out
+    assert 7 in out

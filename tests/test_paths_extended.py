@@ -243,3 +243,137 @@ def test_betweenness_rescale_is_n_over_k(spark):
     }
     for v in raw:
         assert abs(scaled[v] - raw[v] * n / len(srcs)) < 1e-4, v
+
+
+# ---- round 4: shortest-path reconstruction (verdict Missing #1) ----
+
+
+def _min_parents(g, dists, weight=None):
+    """The engine's deterministic parent rule, computed independently:
+    parent(v) = min{u : (u,v) in E, dist(u) + w(u,v) == dist(v)}."""
+    out = {}
+    for u, v, data in g.edges(data=True):
+        du, dv = dists.get(u), dists.get(v)
+        if du is None or dv is None:
+            continue
+        w = data["weight"] if weight else 1
+        if du + w == dv and (v not in out or u < out[v]):
+            out[v] = u
+    return out
+
+
+def test_bfs_parents_matches_min_parent_oracle(spark):
+    from graftlink.paths import bfs_parents
+
+    g = digraph(FIX, N_FIX)
+    dists = nx.single_source_shortest_path_length(g, 0)
+    want_par = _min_parents(g, dists)
+    rows = bfs_parents(edges_df(spark, FIX), 0).collect()
+    assert {r.id: r.dist for r in rows} == dict(dists)
+    assert {r.id: r.parent for r in rows} == {
+        v: want_par.get(v) for v in dists
+    }
+
+
+def test_multi_source_parents_matches_oracle(spark):
+    from graftlink.paths import multi_source_parents
+
+    g = digraph(FIX, N_FIX)
+    rows = multi_source_parents(edges_df(spark, FIX), [0, 5]).collect()
+    for s in (0, 5):
+        dists = nx.single_source_shortest_path_length(g, s)
+        want_par = _min_parents(g, dists)
+        got = {r.id: (r.dist, r.parent) for r in rows if r.source == s}
+        assert got == {v: (d, want_par.get(v)) for v, d in dists.items()}
+
+
+def test_sssp_parents_matches_dijkstra_min_parent(spark):
+    from pyspark.sql import functions as F
+
+    from graftlink.paths import sssp_parents
+
+    e = edges_df(spark, FIX).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    g = nx.DiGraph()
+    g.add_weighted_edges_from([(a, b, float(a % 7 + b % 3 + 1)) for a, b in FIX])
+    dists = nx.single_source_dijkstra_path_length(g, 0)
+    want_par = _min_parents(g, dists, weight=True)
+    rows = sssp_parents(e, 0).collect()
+    assert {r.id: r.dist for r in rows} == {v: float(d) for v, d in dists.items()}
+    assert {r.id: r.parent for r in rows} == {v: want_par.get(v) for v in dists}
+
+
+def _walk_expected(dists, parents, target):
+    """Walk the min-parent tree back; expected (step, id, dist) rows."""
+    rev = []
+    node = target
+    while node is not None:
+        rev.append((node, dists[node]))
+        node = parents.get(node)
+    return [(i, v, d) for i, (v, d) in enumerate(reversed(rev))]
+
+
+def test_shortest_path_bfs_exact(spark):
+    from graftlink.paths import shortest_path
+
+    g = digraph(FIX, N_FIX)
+    dists = nx.single_source_shortest_path_length(g, 0)
+    parents = _min_parents(g, dists)
+    got = [
+        (r.step, r.id, r.dist)
+        for r in shortest_path(edges_df(spark, FIX), 0, 4).orderBy("step").collect()
+    ]
+    assert got == _walk_expected(dists, parents, 4)
+    # and it is a genuine shortest path over real edges
+    es = set(FIX)
+    assert all((got[i][1], got[i + 1][1]) in es for i in range(len(got) - 1))
+    assert got[-1][2] == dists[4] == len(got) - 1
+
+
+def test_shortest_path_weighted_exact(spark):
+    from pyspark.sql import functions as F
+
+    from graftlink.paths import shortest_path
+
+    e = edges_df(spark, FIX).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    g = nx.DiGraph()
+    g.add_weighted_edges_from([(a, b, float(a % 7 + b % 3 + 1)) for a, b in FIX])
+    dists = nx.single_source_dijkstra_path_length(g, 0)
+    parents = _min_parents(g, dists, weight=True)
+    got = [
+        (r.step, r.id, r.dist)
+        for r in shortest_path(e, 0, 6, weighted=True).orderBy("step").collect()
+    ]
+    assert got == _walk_expected(dists, parents, 6)
+
+
+def test_shortest_path_unreachable_is_empty(spark):
+    from graftlink.paths import shortest_path
+
+    # 4 -> 5 unreachable in FIX's directed orientation? ensure with an
+    # isolated target id instead: 99 appears in no edge
+    e = edges_df(spark, FIX + [(99, 98)])
+    assert shortest_path(e, 0, 99).count() == 0
+
+
+def test_shortest_path_undirected(spark):
+    from graftlink.paths import shortest_path
+
+    g = nx.Graph()
+    g.add_edges_from(FIX)
+    dists = nx.single_source_shortest_path_length(g, 6)
+    sym = nx.DiGraph()
+    for a, b in FIX:
+        sym.add_edge(a, b)
+        sym.add_edge(b, a)
+    parents = _min_parents(sym, dists)
+    got = [
+        (r.step, r.id, r.dist)
+        for r in shortest_path(edges_df(spark, FIX), 6, 1, directed=False)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == _walk_expected(dists, parents, 1)
