@@ -184,6 +184,31 @@ class CheckpointManager:
                 best = (k, lineage)
         return best
 
+    def iterations(self) -> list[int]:
+        """All valid (=_SUCCESS + _lineage.json, matching fingerprint)
+        iteration numbers, ascending. Used by algorithms whose resume
+        state spans MULTIPLE iterations (e.g. Brandes' backward pass
+        keeps every level's delta frame), not just the latest."""
+        if self.mode == "local" or not self.base or not os.path.isdir(self.base):
+            return []
+        out = []
+        for name in os.listdir(self.base):
+            if not name.startswith("it=") or name.endswith(".tmp"):
+                continue
+            it_dir = os.path.join(self.base, name)
+            lineage_path = os.path.join(it_dir, "_lineage.json")
+            if not (
+                os.path.exists(os.path.join(it_dir, "_SUCCESS"))
+                and os.path.exists(lineage_path)
+            ):
+                continue
+            with open(lineage_path) as f:
+                lineage = json.load(f)
+            if self.fingerprint and lineage.get("input_fingerprint") != self.fingerprint:
+                continue
+            out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
     def load(self, iteration: int, key: str) -> DataFrame:
         return self.spark.read.parquet(self._it_dir(iteration)).repartition(
             self.buckets, key

@@ -299,12 +299,43 @@ def infomap_communities(
     levels: int = 3,
     max_rounds: int = 20,
     renumber: bool = True,
+    weights: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community] via deterministic
     distributed Infomap (two-level map equation, multilevel moves +
     coarsening). Community ids are renumbered to min-member-id dense
-    labels by default (same contract as louvain_communities)."""
-    wedges = _und_weighted(edges).localCheckpoint(eager=True)
+    labels by default (same contract as louvain_communities).
+    `weights` names an explicit edge-weight column (igraph
+    ``community_infomap(edge_weights=)``); default is multiplicity.
+    `checkpoint_dir`/`resume`/`fingerprint`: durable per-LEVEL
+    checkpointing, same contract as louvain_communities (m2 is
+    coarsening-invariant, so it is recomputed from the resumed
+    table)."""
+    spark = edges.sparkSession
+    durable = checkpoint_dir is not None
+    from graftlink.checkpoint import CheckpointManager
+
+    mgr_m = CheckpointManager(
+        checkpoint_dir, "infomap-mapping", spark, input_fingerprint=fingerprint
+    )
+    mgr_w = CheckpointManager(
+        checkpoint_dir, "infomap-wedges", spark, input_fingerprint=fingerprint
+    )
+    start_lvl = 0
+    mapping = None
+    wedges = None
+    if resume and durable:
+        fm, fw = mgr_m.latest(), mgr_w.latest()
+        if fm is not None and fw is not None:
+            lvl0 = min(fm[0], fw[0])
+            mapping = mgr_m.load(lvl0, "id").localCheckpoint(eager=True)
+            wedges = mgr_w.load(lvl0, "a").localCheckpoint(eager=True)
+            start_lvl = lvl0 + 1
+    if wedges is None:
+        wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
     m2 = (
         wedges.agg(
             F.sum(F.when(F.col("a") == F.col("b"), F.col("w") * 2).otherwise(F.col("w") * 2))
@@ -312,8 +343,7 @@ def infomap_communities(
         or 1.0
     )
 
-    mapping = None
-    for _ in range(levels):
+    for lvl in range(start_lvl, levels):
         comm = _move_phase_infomap(wedges, max_rounds, m2)
         n_comm = comm.select("c").distinct().count()
         n_vert = comm.count()
@@ -340,6 +370,9 @@ def infomap_communities(
             .agg(F.sum("w").alias("w"))
             .localCheckpoint(eager=True)
         )
+        if durable:
+            mapping = mgr_m.save(mapping, lvl, "id", counters={"level": lvl})
+            wedges = mgr_w.save(wedges, lvl, "a", counters={"level": lvl})
     labels = mapping.select("id", F.col("sv").alias("label"))
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))

@@ -42,23 +42,40 @@ from pyspark.sql import functions as F
 from graftlink.components import _renumber
 
 
-def _und_weighted(edges: DataFrame) -> DataFrame:
+def _und_weighted(edges: DataFrame, weights: str | None = None) -> DataFrame:
     """DF[a, b, w] — undirected simple weighted edges (parallel edges
-    accumulate weight; direction dropped; self-loops dropped)."""
+    accumulate weight; direction dropped; self-loops dropped).
+
+    `weights` names an explicit edge-weight column (igraph's
+    ``community_multilevel(weights=)`` contract); when None, weight is
+    parallel-edge multiplicity."""
+    wexpr = (
+        F.sum(F.col(weights)).cast("double")
+        if weights is not None
+        else F.count("*").cast("double")
+    )
     return (
         edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            *([F.col(weights)] if weights is not None else []),
         )
         .where(F.col("a") != F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").cast("double").alias("w"))
+        .agg(wexpr.alias("w"))
     )
 
 
-def modularity(edges: DataFrame, communities: DataFrame, gamma: float = 1.0) -> float:
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    gamma: float = 1.0,
+    weights: str | None = None,
+) -> float:
     """Newman modularity of a community assignment DF[id, community]
-    over the undirected simple view of `edges`."""
-    und = _und_weighted(edges)
+    over the undirected simple view of `edges` (weighted when
+    `weights` names an edge-weight column)."""
+    und = _und_weighted(edges, weights)
     m2 = und.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
     ca = communities.select(F.col("id").alias("a"), F.col("community").alias("cca"))
     cb = communities.select(F.col("id").alias("b"), F.col("community").alias("ccb"))
@@ -362,6 +379,10 @@ def leiden_communities(
     levels: int = 5,
     max_rounds: int = 20,
     renumber: bool = True,
+    weights: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community] via deterministic
     distributed Leiden: Louvain move phase + singleton-merge
@@ -369,14 +390,43 @@ def leiden_communities(
     next move phase with the coarse partition (the paper's structure).
     Returned communities are the move-phase partition (composed down
     to original vertices); the refinement only controls aggregation,
-    which is what guarantees internally-connected communities."""
-    wedges = _und_weighted(edges).localCheckpoint(eager=True)
-    m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
+    which is what guarantees internally-connected communities.
 
+    `weights` names an explicit edge-weight column (igraph
+    ``community_leiden(weights=)``); default is multiplicity.
+    `checkpoint_dir`/`resume`/`fingerprint`: durable per-LEVEL
+    checkpointing of the four level-state frames (mapping, flat
+    result, coarse edges, next-level seed), same contract as
+    louvain_communities."""
+    spark = edges.sparkSession
+    durable = checkpoint_dir is not None
+    from graftlink.checkpoint import CheckpointManager
+
+    mgrs = {
+        name: CheckpointManager(
+            checkpoint_dir, f"leiden-{name}", spark, input_fingerprint=fingerprint
+        )
+        for name in ("mapping", "flat", "wedges", "init")
+    }
+    start_lvl = 0
     mapping = None  # original id -> current-level vertex
     flat = None     # original id -> move-phase community (the result)
     init = None     # current-level seed partition (previous P)
-    for _ in range(levels):
+    wedges = None
+    if resume and durable:
+        latests = {name: m.latest() for name, m in mgrs.items()}
+        if all(v is not None for v in latests.values()):
+            lvl0 = min(v[0] for v in latests.values())
+            mapping = mgrs["mapping"].load(lvl0, "id").localCheckpoint(eager=True)
+            flat = mgrs["flat"].load(lvl0, "id").localCheckpoint(eager=True)
+            wedges = mgrs["wedges"].load(lvl0, "a").localCheckpoint(eager=True)
+            init = mgrs["init"].load(lvl0, "id").localCheckpoint(eager=True)
+            start_lvl = lvl0 + 1
+    if wedges is None:
+        wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
+    m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
+
+    for lvl in range(start_lvl, levels):
         P = _move_phase(wedges, gamma, max_rounds, m2, init=init)
         R = _refine_phase(wedges, P, gamma, max_rounds, m2)
         if mapping is None:
@@ -417,6 +467,11 @@ def leiden_communities(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        if durable:
+            mapping = mgrs["mapping"].save(mapping, lvl, "id", counters={"level": lvl})
+            flat = mgrs["flat"].save(flat, lvl, "id", counters={"level": lvl})
+            wedges = mgrs["wedges"].save(wedges, lvl, "a", counters={"level": lvl})
+            init = mgrs["init"].save(init, lvl, "id", counters={"level": lvl})
     labels = flat
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
@@ -431,15 +486,50 @@ def louvain_communities(
     levels: int = 3,
     max_rounds: int = 20,
     renumber: bool = True,
+    weights: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community] via deterministic
-    parallel Louvain with coarsening."""
-    wedges = _und_weighted(edges).localCheckpoint(eager=True)
+    parallel Louvain with coarsening. `weights` names an explicit
+    edge-weight column (igraph ``community_multilevel(weights=)``);
+    default is parallel-edge multiplicity.
+
+    With `checkpoint_dir`, the (id->super-vertex mapping, coarsened
+    edge table) pair lands durably after every completed LEVEL —
+    coarsening shrinks levels geometrically, so level granularity
+    bounds re-work after a kill at <= one level while writing
+    O(current graph) state, and m2 (total weight x2, incl. the
+    self-loops coarsening creates) is invariant under coarsening so
+    it is recomputed from the resumed table. resume=True restarts
+    from the last completed level. Include the weight column in the
+    caller's fingerprint when weights= varies over the same edges."""
+    spark = edges.sparkSession
+    durable = checkpoint_dir is not None
+    from graftlink.checkpoint import CheckpointManager
+
+    mgr_m = CheckpointManager(
+        checkpoint_dir, "louvain-mapping", spark, input_fingerprint=fingerprint
+    )
+    mgr_w = CheckpointManager(
+        checkpoint_dir, "louvain-wedges", spark, input_fingerprint=fingerprint
+    )
+    start_lvl = 0
+    mapping = None  # original id -> current super-vertex
+    wedges = None
+    if resume and durable:
+        fm, fw = mgr_m.latest(), mgr_w.latest()
+        if fm is not None and fw is not None:
+            lvl0 = min(fm[0], fw[0])
+            mapping = mgr_m.load(lvl0, "id").localCheckpoint(eager=True)
+            wedges = mgr_w.load(lvl0, "a").localCheckpoint(eager=True)
+            start_lvl = lvl0 + 1
+    if wedges is None:
+        wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
     m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
 
-    # mapping from original id to current super-vertex
-    mapping = None
-    for _ in range(levels):
+    for lvl in range(start_lvl, levels):
         comm = _move_phase(wedges, gamma, max_rounds, m2)
         n_comm = comm.select("c").distinct().count()
         n_vert = comm.count()
@@ -468,6 +558,9 @@ def louvain_communities(
             .agg(F.sum("w").alias("w"))
             .localCheckpoint(eager=True)
         )
+        if durable:
+            mapping = mgr_m.save(mapping, lvl, "id", counters={"level": lvl})
+            wedges = mgr_w.save(wedges, lvl, "a", counters={"level": lvl})
     labels = mapping.select("id", F.col("sv").alias("label"))
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))

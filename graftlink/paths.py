@@ -501,6 +501,9 @@ def betweenness_from_sources(
     rescale: bool = False,
     normalized: bool = False,
     buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """DF[id, betweenness] — Brandes dependency accumulation over the
     shortest-path DAGs of the given sources (exact betweenness when
@@ -517,11 +520,20 @@ def betweenness_from_sources(
     Batched: ALL sources run in one forward loop (state keyed
     (source, id)) and one backward loop over levels, so the superstep
     count is 2 * max-eccentricity regardless of |sources|.
-    """
+
+    With `checkpoint_dir`, BOTH loops durably checkpoint per level:
+    the forward `visited` frame each depth, and each backward level's
+    delta frame (Brandes' backward pass needs EVERY level's deltas at
+    the end, so resume reloads all landed levels, not just the
+    latest). resume=True restarts a killed run at the last completed
+    superstep. The fingerprint should also encode the SOURCE SET when
+    callers vary it (the same edge table with different sources is
+    different state)."""
     from graftlink.vertices import vertex_universe
 
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    durable = checkpoint_dir is not None
     e = edges.select("src", "dst")
     if not directed:
         e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -532,37 +544,76 @@ def betweenness_from_sources(
     # localCheckpoint'ed frame forced an SMJ of all edges per level)
     e = e.distinct().repartition(b, "src").persist()
     e_by_dst = e.repartition(b, "dst").persist()
-    mgr = CheckpointManager(None, "btw", spark, mode="local", buckets=b)
+    mgr = CheckpointManager(
+        checkpoint_dir, "btw-fwd", spark,
+        input_fingerprint=fingerprint, buckets=b,
+    )
+    mgr_b = CheckpointManager(
+        checkpoint_dir, "btw-bwd", spark,
+        input_fingerprint=fingerprint, buckets=b,
+    ) if durable else None
 
     # ---- forward: (source, id, dist, sigma) level-synchronous ----
-    visited = spark.createDataFrame(
-        [(s, s, 0, 1.0) for s in sources],
-        "source long, id long, dist int, sigma double",
-    ).repartition(b, "id")
-    frontier = visited
+    visited = None
+    start_depth = 1
     maxlvl = 0
-    for depth in range(1, max_depth + 1):
-        nxt = (
-            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
-            .groupBy("source", F.col("dst").alias("id"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(
-                visited.select("source", "id").hint("shuffle_hash"),
-                ["source", "id"],
-                "left_anti",
+    fwd_done = False
+    bwd_levels: list[int] = mgr_b.iterations() if (resume and durable) else []
+    if resume and durable:
+        fv = mgr.latest()
+        if fv is not None:
+            k = fv[0]
+            visited = mgr.load(k, "id").localCheckpoint(eager=True)
+            maxlvl = visited.agg(F.max("dist")).collect()[0][0] or 0
+            # depth k added nothing => the kill happened at/after the
+            # convergence check; the forward pass is complete. maxlvl
+            # (deepest reached level) is recomputed from the state, so
+            # no counter round-trip is needed.
+            fwd_done = maxlvl < k or bool(bwd_levels)
+            start_depth = k + 1
+    if visited is None:
+        visited = spark.createDataFrame(
+            [(s, s, 0, 1.0) for s in sources],
+            "source long, id long, dist int, sigma double",
+        ).repartition(b, "id")
+        bwd_levels = []
+    if not fwd_done:
+        frontier = visited.where(F.col("dist") == maxlvl) if maxlvl else visited
+        converged = False
+        for depth in range(start_depth, max_depth + 1):
+            nxt = (
+                e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+                .groupBy("source", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(
+                    visited.select("source", "id").hint("shuffle_hash"),
+                    ["source", "id"],
+                    "left_anti",
+                )
+                .select("source", "id", F.lit(depth).cast("int").alias("dist"), "sigma")
             )
-            .select("source", "id", F.lit(depth).cast("int").alias("dist"), "sigma")
-        )
-        visited, row = mgr.save(
-            visited.unionByName(nxt), depth, "id", counters={"depth": depth},
-            stats_cols=[
-                F.sum((F.col("dist") == depth).cast("long")).alias("new_count")
-            ],
-        )
-        if not row["new_count"]:
-            break
-        maxlvl = depth
-        frontier = visited.where(F.col("dist") == depth)
+            visited, row = mgr.save(
+                visited.unionByName(nxt), depth, "id", counters={"depth": depth},
+                stats_cols=[
+                    F.sum((F.col("dist") == depth).cast("long")).alias("new_count")
+                ],
+            )
+            if not row["new_count"]:
+                converged = True
+                break
+            maxlvl = depth
+            frontier = visited.where(F.col("dist") == depth)
+        if not converged:
+            # Truncation must surface (same policy as scc.py's
+            # max_outer raise): running Brandes' backward pass over a
+            # depth-truncated DAG silently under-counts dependencies,
+            # and in durable mode it would land backward frames that a
+            # later resume would mistake for a completed forward pass.
+            raise RuntimeError(
+                f"betweenness forward BFS still growing at max_depth="
+                f"{max_depth}; raise max_depth (graph eccentricity "
+                f"exceeds it)"
+            )
     visited = mgr.finalize(visited)
 
     # ---- backward: delta by descending level ----
@@ -571,12 +622,23 @@ def betweenness_from_sources(
     # per-level delta frames accumulate in a Python list and union
     # LAZILY at the end — checkpointing the growing union every level
     # was O(levels) full rewrites (round-2 VERDICT wrong #4); only the
-    # per-level `acc` (next level's join input) needs materializing
-    acc = visited.where(F.col("dist") == maxlvl).select(
-        "source", "id", "sigma", F.lit(0.0).alias("delta")
-    )
-    delta_parts = [acc]
-    for lvl in range(maxlvl - 1, 0, -1):
+    # per-level `acc` (next level's join input) needs materializing.
+    # Durable mode instead lands each level's frame as its own
+    # iteration (iteration number = level), so the lazy union reads
+    # shallow parquet-backed frames and resume reloads them all.
+    if bwd_levels:
+        delta_parts = [mgr_b.load(l, "id") for l in sorted(bwd_levels, reverse=True)]
+        acc = delta_parts[-1]
+        start_lvl = min(bwd_levels) - 1
+    else:
+        acc = visited.where(F.col("dist") == maxlvl).select(
+            "source", "id", "sigma", F.lit(0.0).alias("delta")
+        )
+        if durable:
+            acc = mgr_b.save(acc, maxlvl, "id", counters={"lvl": maxlvl})
+        delta_parts = [acc]
+        start_lvl = maxlvl - 1
+    for lvl in range(start_lvl, 0, -1):
         level_rows = visited.where(F.col("dist") == lvl)
         contrib = (
             e_by_dst.join(
@@ -595,8 +657,11 @@ def betweenness_from_sources(
                 "source", "id", "sigma",
                 (F.col("sigma") * F.coalesce("_acc", F.lit(0.0))).alias("delta"),
             )
-            .localCheckpoint(eager=True)
         )
+        if durable:
+            acc = mgr_b.save(acc, lvl, "id", counters={"lvl": lvl})
+        else:
+            acc = acc.localCheckpoint(eager=True)
         delta_parts.append(acc)
 
     deltas = delta_parts[0]

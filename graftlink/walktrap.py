@@ -134,13 +134,16 @@ def walktrap_communities(
     steps: int = 4,
     max_rounds: int = 200,
     renumber: bool = True,
+    weights: str | None = None,
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community]: deterministic
     distributed walktrap (t-step walk distance, batched
     reciprocal-NN Ward agglomeration, max-modularity cut). Community
     ids are renumbered to min-member-id dense labels by default (same
-    contract as louvain_communities)."""
-    wedges = _und_weighted(edges).localCheckpoint(eager=True)
+    contract as louvain_communities). `weights` names an explicit
+    edge-weight column (igraph ``community_walktrap(weights=)``);
+    default is parallel-edge multiplicity."""
+    wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
 
     sym = wedges.select(F.col("a").alias("i"), F.col("b").alias("k"), "w").unionAll(
         wedges.select(F.col("b").alias("i"), F.col("a").alias("k"), "w")

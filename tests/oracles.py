@@ -116,3 +116,19 @@ def er_edges(n, p, seed):
     rng = np.random.RandomState(seed)
     mask = rng.rand(n, n) < p
     return [(i, j) for i in range(n) for j in range(n) if i != j and mask[i, j]]
+
+
+def ring_of_cliques(k, size):
+    """k cliques of `size` vertices joined in a ring by single
+    bridges — the standard multi-level community fixture (level 0
+    finds the cliques, level 1+ works on the ring of super-vertices).
+    """
+    e = []
+    for c in range(k):
+        base = c * size
+        for i in range(base, base + size):
+            for j in range(i + 1, base + size):
+                e.append((i, j))
+    for c in range(k):
+        e.append((c * size, ((c + 1) % k) * size + 1))
+    return e

@@ -189,3 +189,154 @@ def test_scc_resume_exact(spark, tmp_path):
         e, checkpoint_dir=d, resume=True, fingerprint=fp
     ))
     assert full == resumed
+
+
+# ---------------------------------------------------------------------------
+# round-4: durable resume for betweenness + the community levels
+# (round-3 VERDICT next #7)
+# ---------------------------------------------------------------------------
+
+
+def _kill_then_resume(spark, monkeypatch, run, prefix, n_saves):
+    """full run -> killed run (`n_saves` durable saves of managers
+    whose algo starts with `prefix` land, then death — a faithful kill
+    simulation: the state IS on disk, the process is gone) -> resumed
+    run; returns (full, resumed) for exact comparison."""
+    import pytest
+
+    full = run(checkpoint_dir=None, resume=False)
+    orig = CheckpointManager.save
+    state = {"left": n_saves}
+
+    def killing_save(mgr, df, iteration, key, counters, stats_cols=None):
+        out = orig(mgr, df, iteration, key, counters, stats_cols)
+        if mgr.algo.startswith(prefix) and mgr.mode != "local":
+            state["left"] -= 1
+            if state["left"] == 0:
+                raise RuntimeError("simulated kill")
+        return out
+
+    monkeypatch.setattr(CheckpointManager, "save", killing_save)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run(checkpoint_dir="KILL", resume=False)
+    monkeypatch.setattr(CheckpointManager, "save", orig)
+    resumed = run(checkpoint_dir="KILL", resume=True)
+    assert state["left"] == 0, "kill never fired: the killed run saved too few times"
+    return full, resumed
+
+
+def test_betweenness_resume_mid_forward(spark, monkeypatch, tmp_path):
+    from graftlink.paths import betweenness_from_sources
+
+    pairs = er_edges(60, 0.05, 23)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "btw-fwd-kill")
+
+    def run(checkpoint_dir, resume):
+        df = betweenness_from_sources(
+            e, [0, 3, 7], directed=False,
+            checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.betweenness for r in df.collect()}
+
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "btw-fwd", 2)
+    assert full == resumed  # rounded to 6dp in-engine: exact equality
+
+
+def test_betweenness_resume_mid_backward(spark, monkeypatch, tmp_path):
+    from graftlink.paths import betweenness_from_sources
+
+    pairs = er_edges(60, 0.05, 24)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "btw-bwd-kill")
+
+    def run(checkpoint_dir, resume):
+        df = betweenness_from_sources(
+            e, [0, 3, 7], directed=False,
+            checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.betweenness for r in df.collect()}
+
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "btw-bwd", 2)
+    assert full == resumed
+
+
+def test_betweenness_truncated_forward_raises(spark, tmp_path):
+    """A depth-truncated forward pass must surface, not silently
+    under-count (and in durable mode, not land backward frames a
+    resume would trust)."""
+    import pytest
+
+    from graftlink.paths import betweenness_from_sources
+
+    pairs = [(i, i + 1) for i in range(10)]  # path: ecc 10 from 0
+    e = edges_df(spark, pairs)
+    with pytest.raises(RuntimeError, match="max_depth"):
+        betweenness_from_sources(e, [0], max_depth=3)
+
+
+def test_louvain_resume_after_level(spark, monkeypatch, tmp_path):
+    from graftlink.louvain import louvain_communities
+    from tests.oracles import ring_of_cliques
+
+    pairs = ring_of_cliques(6, 5)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "louvain-kill")
+
+    def run(checkpoint_dir, resume):
+        df = louvain_communities(
+            e, checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.community for r in df.collect()}
+
+    # 2 durable saves per completed level (mapping + wedges); kill
+    # right after level 0 lands
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "louvain-", 2)
+    assert full == resumed
+
+
+def test_leiden_resume_after_level(spark, monkeypatch, tmp_path):
+    from graftlink.louvain import leiden_communities
+    from tests.oracles import ring_of_cliques
+
+    pairs = ring_of_cliques(6, 5)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "leiden-kill")
+
+    def run(checkpoint_dir, resume):
+        df = leiden_communities(
+            e, checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.community for r in df.collect()}
+
+    # 4 durable saves per completed level; kill right after level 0
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "leiden-", 4)
+    assert full == resumed
+
+
+def test_infomap_resume_after_level(spark, monkeypatch, tmp_path):
+    from graftlink.infomap import infomap_communities
+    from tests.oracles import ring_of_cliques
+
+    pairs = ring_of_cliques(6, 5)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "infomap-kill")
+
+    def run(checkpoint_dir, resume):
+        df = infomap_communities(
+            e, checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.community for r in df.collect()}
+
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "infomap-", 2)
+    assert full == resumed

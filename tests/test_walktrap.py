@@ -18,15 +18,25 @@ def py_walktrap(pairs, steps=4, max_rounds=200):
     walk vectors, sum-vector state, ds rounded to 12 decimals, NN by
     lexicographic (ds, partner), reciprocal-pair batch merges with
     min-id labels, global-min fallback, max-modularity cut at round
-    granularity. Returns the partition as a set of frozensets."""
-    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    granularity. Returns the partition as a set of frozensets.
+
+    `pairs` items are (u, v) with weight = multiplicity, or (u, v, w)
+    with an explicit weight (parallel entries accumulate) — mirroring
+    walktrap_communities(weights=...)."""
+    und = {}
+    for p in pairs:
+        u, v, w = (p[0], p[1], p[2]) if len(p) == 3 else (p[0], p[1], 1.0)
+        if u == v:
+            continue
+        key = tuple(sorted((u, v)))
+        und[key] = und.get(key, 0.0) + float(w)
     verts = sorted({v for p in und for v in p})
     idx = {v: i for i, v in enumerate(verts)}
     n = len(verts)
     A = np.zeros((n, n))
-    for u, v in und:
-        A[idx[u], idx[v]] += 1.0
-        A[idx[v], idx[u]] += 1.0
+    for (u, v), w in und.items():
+        A[idx[u], idx[v]] += w
+        A[idx[v], idx[u]] += w
     d = A.sum(1)
     Pt = np.linalg.matrix_power(A / d[:, None], steps)
     invd = 1.0 / d
@@ -35,9 +45,9 @@ def py_walktrap(pairs, steps=4, max_rounds=200):
     live = {i: Pt[i].copy() for i in range(n)}
     sizes = {i: 1 for i in range(n)}
     cw = {}
-    for u, v in und:
+    for (u, v), w in und.items():
         a, b = sorted((idx[u], idx[v]))
-        cw[(a, b)] = cw.get((a, b), 0.0) + 1.0
+        cw[(a, b)] = cw.get((a, b), 0.0) + w
     comm = {i: i for i in range(n)}
 
     def q_of():
