@@ -898,6 +898,23 @@ def _q_edge_trussness(spark, sf_dir):
     return trussness(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_bridges(spark, sf_dir):
+    """igraph_bridges: cut edges of the undirected view, via BFS
+    spanning forest + non-tree-edge XOR covering (graftlink/bridges.py
+    — igraph's sequential DFS low-link pass is BSP-hostile; this
+    formulation returns the same edge set). Runs on a deterministic
+    (src+dst)%3 edge-drop sparsification: the full doc graph is
+    bridge-free at sf0.01 (0 rows checks nothing) while the sparsified
+    graph has BOTH bridges and cycles, so the XOR-covering path and
+    the bridge path are each exercised."""
+    from graftlink.bridges import bridges
+
+    e = clean_edges(doc_edges(spark, sf_dir)).where(
+        (F.col("src") + F.col("dst")) % 3 != 0
+    )
+    return bridges(e)
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1089,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation) ----
         "louvain_weighted_communities": _q_louvain_weighted,
         "infomap_weighted_communities": _q_infomap_weighted,
+        "bridges": _q_bridges,
     }
 
 
@@ -1310,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
         "greedy_coloring": _mis.coloring_sql(_CLEAN),
         "triad_census": _triads.triad_census_sql(_CLEAN),
         "edge_trussness": _truss_sql.trussness_sql(_CLEAN),
+        "bridges": _isql.bridges_sql(
+            f"SELECT src, dst FROM ({_CLEAN}) WHERE (src + dst) % 3 <> 0"
+        ),
         "assortativity_by_lang": _metrics.assortativity_nominal_sql(
             _CLEAN, "SELECT doc_id AS id, lang AS cat FROM documents"
         ),

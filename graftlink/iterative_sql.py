@@ -726,3 +726,89 @@ def lpa_sql(clean: str, iters: int = LPA_ITERS, weighted: bool = False) -> str:
         SELECT f.id, dense_rank() OVER (ORDER BY mm.m) - 1 AS community
         FROM fin f JOIN mm ON mm.label = f.label
     """
+
+
+def bridges_sql(clean: str, max_depth: int = BFS_MAX_DEPTH) -> str:
+    """Bridges via the SAME any-spanning-forest XOR-covering statistic
+    as graftlink.bridges: BFS forest from the min-id root of every
+    component (min-parent tie-break), each non-tree simple edge XORs
+    its fixed 61-bit key (graftlink.bridges.edge_key_sql — identical
+    integer arithmetic in both engines) into both endpoints, subtree
+    bit_xor per tree edge, bridge iff the subtree XOR is zero and the
+    edge multiplicity is 1."""
+    from graftlink.bridges import edge_key_sql
+
+    h = edge_key_sql("n.a", "n.b")
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        simple AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   count(*) AS mult
+            FROM clean WHERE src <> dst GROUP BY 1, 2
+        ),
+        nb AS (
+            SELECT a AS u, b AS v FROM simple
+            UNION ALL SELECT b, a FROM simple
+        ),
+        reach(id, r) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT n.v, rc.r FROM reach rc JOIN nb n ON n.u = rc.id
+        ),
+        roots AS (
+            SELECT DISTINCT root FROM (
+                SELECT id, min(r) AS root FROM reach GROUP BY id
+            )
+        ),
+        d0(id, dist) AS (
+            SELECT root, 0 FROM roots
+            UNION
+            SELECT n.v, dd.dist + 1
+            FROM d0 dd JOIN nb n ON n.u = dd.id
+            WHERE dd.dist < {max_depth}
+        ),
+        dist AS (SELECT id, min(dist) AS dist FROM d0 GROUP BY id),
+        par AS (
+            SELECT dv.id, min(n.u) AS parent
+            FROM dist dv
+            JOIN nb n ON n.v = dv.id
+            JOIN dist du ON du.id = n.u AND du.dist + 1 = dv.dist
+            GROUP BY dv.id
+        ),
+        tree AS (
+            SELECT least(parent, id) AS a, greatest(parent, id) AS b,
+                   parent, id AS child
+            FROM par WHERE parent IS NOT NULL
+        ),
+        nontree AS (
+            SELECT s.a, s.b FROM simple s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM tree t WHERE t.a = s.a AND t.b = s.b
+            )
+        ),
+        xacc AS (
+            SELECT id, bit_xor(h) AS x FROM (
+                SELECT n.a AS id, {h} AS h FROM nontree n
+                UNION ALL
+                SELECT n.b, {h} FROM nontree n
+            ) GROUP BY id
+        ),
+        descd(anc, node) AS (
+            SELECT child, child FROM tree
+            UNION
+            SELECT dd.anc, t.child
+            FROM descd dd JOIN tree t ON t.parent = dd.node
+        ),
+        sub AS (
+            SELECT dd.anc AS child,
+                   bit_xor(coalesce(x.x, 0)) AS s
+            FROM descd dd LEFT JOIN xacc x ON x.id = dd.node
+            GROUP BY dd.anc
+        )
+        SELECT t.a, t.b
+        FROM tree t
+        JOIN sub s ON s.child = t.child
+        JOIN simple sm ON sm.a = t.a AND sm.b = t.b
+        WHERE coalesce(s.s, 0) = 0 AND sm.mult = 1
+    """

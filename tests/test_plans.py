@@ -339,3 +339,40 @@ def test_curate_pipeline_prunes_scan_columns(spark, tmp_path):
             "struct<doc_id:bigint,text:string>",
             "struct<doc_id:bigint,source:string,n_chars:bigint>",
         ), s
+
+
+def test_bridges_supersteps_sort_free(spark):
+    """Every frame the bridges kernel materializes per superstep (BFS
+    forest levels via CheckpointManager.save, bottom-up XOR levels via
+    localCheckpoint) must stay in the hash-join/partial-agg regime:
+    no Window, no row_number, no SortMergeJoin (a sort of the frontier
+    or of the level frame would re-sort O(m) rows every superstep)."""
+    from pyspark.sql import DataFrame
+
+    import graftlink.bridges as br
+
+    captured = []
+    orig_save = br.CheckpointManager.save
+    orig_lc = DataFrame.localCheckpoint
+
+    def spy_save(self, df, *a, **k):
+        captured.append(plan_of(df))
+        return orig_save(self, df, *a, **k)
+
+    def spy_lc(self, eager=True):
+        captured.append(plan_of(self))
+        return orig_lc(self, eager)
+
+    br.CheckpointManager.save = spy_save
+    DataFrame.localCheckpoint = spy_lc
+    try:
+        e = edges_df(spark, er_edges(80, 0.06, 11))
+        br.bridges(e, buckets=4).count()
+    finally:
+        br.CheckpointManager.save = orig_save
+        DataFrame.localCheckpoint = orig_lc
+    assert len(captured) >= 3, "expected BFS + bottom-up superstep plans"
+    for plan in captured:
+        assert "Window" not in plan
+        assert "row_number" not in plan
+        assert "SortMergeJoin" not in plan
