@@ -32,6 +32,7 @@ from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
 from graftlink import mis as _mis
+from graftlink import motifs as _motifs
 from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
 from graftlink import multimodal as _multimodal
@@ -915,6 +916,91 @@ def _q_bridges(spark, sf_dir):
     return bridges(e)
 
 
+def _sparse_edges(spark, sf_dir):
+    """The bridges-query sparsification, shared by the biconnectivity
+    rows: the full doc graph is one giant biconnected block at sf0.01
+    (0 articulation points checks nothing); the (src+dst)%3 edge-drop
+    graph has bridges, cut vertices, AND multi-edge blocks."""
+    return clean_edges(doc_edges(spark, sf_dir)).where(
+        (F.col("src") + F.col("dst")) % 3 != 0
+    )
+
+
+def _q_articulation_points(spark, sf_dir):
+    """igraph_articulation_points via Tarjan–Vishkin (biconnectivity
+    reduced to the engine's own connected components over an auxiliary
+    graph of tree edges — graftlink/biconn.py; igraph's sequential DFS
+    low-point pass is BSP-hostile). Oracle is algorithm-independent:
+    v is a cut vertex iff its neighbors span >= 2 components of G-v."""
+    from graftlink.biconn import articulation_points
+
+    return articulation_points(_sparse_edges(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id")
+    )
+
+
+def _q_vertex_block_counts(spark, sf_dir):
+    """igraph biconnected_components vertex view: n_blocks(v) = number
+    of biconnected components containing v — pins the whole block
+    structure per vertex, not just the >=2 cut (graftlink/biconn.py)."""
+    from graftlink.biconn import vertex_block_counts
+
+    return vertex_block_counts(_sparse_edges(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+    )
+
+
+def _q_biconnected_blocks(spark, sf_dir):
+    """igraph_biconnected_components edge labeling: DF[a, b, block]
+    with block = min non-root member vertex id (deterministic). No
+    SQL-expressible oracle for the labeling itself (the removal twin
+    pins the per-vertex block counts; networkx-parity pytests in
+    tests/test_biconn.py pin the labeling) — rows-only by design."""
+    from graftlink.biconn import biconnected_components
+
+    return biconnected_components(_sparse_edges(spark, sf_dir))
+
+
+def _q_core_numbers_in(spark, sf_dir):
+    """igraph coreness(mode="in"): in-degree peeling on the directed
+    doc graph — the SAME fused single-exchange h-index kernel as
+    core_numbers, with the scatter graph oriented in-neighbor->vertex
+    (graftlink/kcore.py; exact peeling-parity pytests in
+    tests/test_kcore_modes.py)."""
+    from graftlink.kcore import core_numbers
+
+    return core_numbers(clean_edges(doc_edges(spark, sf_dir)), mode="in").select(
+        F.col("id").cast("long").alias("id"), F.col("core").cast("long").alias("core")
+    )
+
+
+def _q_neighborhood_size_2(spark, sf_dir):
+    """igraph_neighborhood_size(order=2): |ball_2(v)| including v,
+    per-hop-deduplicated joins (graftlink/metrics.py; the approx=True
+    HLL path is the 100 TB estimator, pytest-gated)."""
+    from graftlink.metrics import neighborhood_size
+
+    return neighborhood_size(
+        clean_edges(doc_edges(spark, sf_dir)), order=2
+    ).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("size").cast("long").alias("size"),
+    )
+
+
+def _q_motif_census_4(spark, sf_dir):
+    """igraph_motifs_randesu(size=4) undirected: induced counts of all
+    6 connected 4-vertex classes, via closed-form subgraph sums +
+    overcount-matrix inversion (graftlink/motifs.py — igraph's ESU
+    enumeration is sequential-DFS-shaped). Oracle enumerates 4-sets
+    DIRECTLY in DuckDB (independent decomposition); brute-force parity
+    pytests in tests/test_motifs.py."""
+    from graftlink.motifs import motif_census_4
+
+    return motif_census_4(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1003,6 +1089,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in this front: leiden/infomap/walktrap (community
     # family, no SQL-expressible oracle by design).
     return {
+        # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
+        "articulation_points": _q_articulation_points,
+        "vertex_block_counts": _q_vertex_block_counts,
+        # ---- new in round 4: coreness modes + neighborhood size ----
+        "core_numbers_in": _q_core_numbers_in,
+        "neighborhood_size_2": _q_neighborhood_size_2,
+        # ---- new in round 4: order-4 motif census ----
+        "motif_census_4": _q_motif_census_4,
         # ---- new in round 4: shortest-path reconstruction ----
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
@@ -1107,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_weighted_communities": _q_louvain_weighted,
         "infomap_weighted_communities": _q_infomap_weighted,
         "bridges": _q_bridges,
+        "biconnected_blocks": _q_biconnected_blocks,
     }
 
 
@@ -1331,6 +1426,15 @@ def oracle_sql() -> dict[str, str]:
         "bridges": _isql.bridges_sql(
             f"SELECT src, dst FROM ({_CLEAN}) WHERE (src + dst) % 3 <> 0"
         ),
+        "articulation_points": _isql.articulation_points_sql(
+            f"SELECT src, dst FROM ({_CLEAN}) WHERE (src + dst) % 3 <> 0"
+        ),
+        "vertex_block_counts": _isql.vertex_block_counts_sql(
+            f"SELECT src, dst FROM ({_CLEAN}) WHERE (src + dst) % 3 <> 0"
+        ),
+        "core_numbers_in": _isql.core_numbers_sql(_CLEAN, mode="in"),
+        "neighborhood_size_2": _metrics.neighborhood_size_sql(_CLEAN, 2),
+        "motif_census_4": _motifs.motif_census_sql(_CLEAN),
         "assortativity_by_lang": _metrics.assortativity_nominal_sql(
             _CLEAN, "SELECT doc_id AS id, lang AS cat FROM documents"
         ),

@@ -76,34 +76,39 @@ def edge_key_sql(a: str, b: str) -> str:
     return f"(({ma}) * 2147483648 + ({mb}) + 1)"
 
 
-def bridges(
-    edges: DataFrame,
-    max_depth: int = 300,
-    buckets: int | None = None,
-) -> DataFrame:
-    """DF[a, b] — every bridge of the undirected multigraph view of
-    `edges` (a < b; an edge is a bridge iff removing it increases the
-    component count; parallel edges cover each other, self-loops are
-    never bridges)."""
-    from graftlink.components import connected_components
-    from graftlink.paths import _parent_join
-
-    spark = edges.sparkSession
-    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
-    simple = (
+def canonical_simple(edges: DataFrame, buckets: int) -> DataFrame:
+    """DF[a, b, mult] — canonical simple undirected view (a < b,
+    self-loops dropped, parallel edges collapsed into a multiplicity)."""
+    return (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("mult"))
-        .repartition(b, "a")
-        .persist()
+        .repartition(buckets, "a")
     )
-    und = simple.select("a", "b")
 
-    # ---- 1. BFS forest from the min-id root of every component ----
+
+def spanning_forest(
+    und: DataFrame,
+    buckets: int,
+    max_depth: int = 300,
+    tag: str = "forest-bfs",
+) -> tuple[DataFrame, int]:
+    """und DF[a, b] (simple, a < b) -> (DF[id, dist, parent], maxlvl):
+    a deterministic BFS spanning forest rooted at the min-id vertex of
+    every component, with the min-predecessor parent tie-break — a pure
+    function of the graph, independent of partitioning and superstep
+    order. Shared by bridges() and the Tarjan–Vishkin biconnectivity
+    kernel. The returned frame is persisted; callers unpersist."""
+    from graftlink.components import connected_components
+    from graftlink.paths import _parent_join
+
+    spark = und.sparkSession
+    b = buckets
+
+    # ---- BFS forest from the min-id root of every component ----
     roots = (
         connected_components(und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
                              renumber=False)
@@ -114,7 +119,7 @@ def bridges(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         buckets=b, undirected=True,
     ).persist()
-    mgr = CheckpointManager(None, "bridges-bfs", spark, mode="local", buckets=b)
+    mgr = CheckpointManager(None, tag, spark, mode="local", buckets=b)
     visited = roots.select("id", F.lit(0).cast("int").alias("dist")).repartition(
         b, "id"
     )
@@ -141,7 +146,7 @@ def bridges(
         frontier = visited.where(F.col("dist") == depth)
     else:
         raise RuntimeError(
-            f"bridges forest BFS still growing at max_depth={max_depth}; "
+            f"{tag}: forest BFS still growing at max_depth={max_depth}; "
             f"raise max_depth (graph eccentricity exceeds it)"
         )
     adj.unpersist()
@@ -151,6 +156,25 @@ def bridges(
         und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     d = _parent_join(sym, visited, F.lit(1)).repartition(b, "id").persist()
+    return d, maxlvl
+
+
+def bridges(
+    edges: DataFrame,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[a, b] — every bridge of the undirected multigraph view of
+    `edges` (a < b; an edge is a bridge iff removing it increases the
+    component count; parallel edges cover each other, self-loops are
+    never bridges)."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    simple = canonical_simple(edges, b).persist()
+    und = simple.select("a", "b")
+
+    d, maxlvl = spanning_forest(und, b, max_depth, tag="bridges-bfs")
 
     # ---- 2. non-tree edges scatter their key into both endpoints ----
     tree = d.where(F.col("parent").isNotNull()).select(

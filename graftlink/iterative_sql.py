@@ -620,10 +620,22 @@ def betweenness_sql(
 # ---------------------------------------------------------------------------
 
 
-def core_numbers_sql(clean: str, rounds: int = CORE_ROUNDS) -> str:
+def core_numbers_sql(clean: str, rounds: int = CORE_ROUNDS,
+                     mode: str = "all") -> str:
     """h(v) <- H({h(u) : u in N(v)}) from h = degree converges to the
     core number (Montresor et al. 2011); H computed as
-    max_i min(i, h_i) over neighbors sorted descending."""
+    max_i min(i, h_i) over neighbors sorted descending. mode is
+    igraph coreness(mode=): nb(u, v) lists the neighbors v whose
+    estimates drive u's h — both directions ("all"), in-neighbors
+    ("in") or out-neighbors ("out") of the deduplicated digraph."""
+    if mode == "all":
+        nb = "SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und"
+    elif mode == "in":
+        nb = "SELECT DISTINCT dst AS u, src AS v FROM clean WHERE src <> dst"
+    elif mode == "out":
+        nb = "SELECT DISTINCT src AS u, dst AS v FROM clean WHERE src <> dst"
+    else:
+        raise ValueError(f"coreness mode must be all|in|out, got {mode!r}")
     return f"""
         WITH RECURSIVE
         {_prelude(clean)},
@@ -631,7 +643,7 @@ def core_numbers_sql(clean: str, rounds: int = CORE_ROUNDS) -> str:
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM clean WHERE src <> dst
         ),
-        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        nb AS ({nb}),
         deg AS (SELECT u AS id, count(*) AS d FROM nb GROUP BY u),
         h(round, id, hv) AS (
             SELECT 0, id, d FROM deg
@@ -811,4 +823,47 @@ def bridges_sql(clean: str, max_depth: int = BFS_MAX_DEPTH) -> str:
         JOIN sub s ON s.child = t.child
         JOIN simple sm ON sm.a = t.a AND sm.b = t.b
         WHERE coalesce(s.s, 0) = 0 AND sm.mult = 1
+    """
+
+
+def vertex_block_counts_sql(clean: str) -> str:
+    """Algorithm-INDEPENDENT removal statistic for biconnectivity:
+    n_blocks(v) = number of connected components of G - v that contain
+    a neighbor of v = number of biconnected components containing v
+    (what graftlink.biconn.vertex_block_counts computes via
+    Tarjan-Vishkin).  reach(rm, seed, node) explores G - rm from every
+    neighbor seed of rm; two seeds share a component iff their
+    min-reachable node agrees."""
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        simple AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (
+            SELECT a AS u, b AS v FROM simple
+            UNION ALL SELECT b, a FROM simple
+        ),
+        reach(rm, seed, node) AS (
+            SELECT u, v, v FROM nb
+            UNION
+            SELECT r.rm, r.seed, n.v
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE n.v <> r.rm
+        ),
+        lab AS (
+            SELECT rm, seed, min(node) AS lbl FROM reach GROUP BY rm, seed
+        )
+        SELECT rm AS id, count(DISTINCT lbl) AS n_blocks
+        FROM lab GROUP BY rm
+    """
+
+
+def articulation_points_sql(clean: str) -> str:
+    """v is an articulation point iff its neighbors span >= 2
+    components of G - v (pure semantic definition, no spanning tree)."""
+    return f"""
+        SELECT id FROM ({vertex_block_counts_sql(clean)})
+        WHERE n_blocks >= 2
     """

@@ -87,10 +87,24 @@ def core_numbers(
     buckets: int | None = None,
     max_rounds: int = 200,
     unroll: int = 1,
+    mode: str = "all",
 ) -> DataFrame:
     """DF[id, core] — the largest k such that id is in the k-core,
     via h-index propagation (one superstep loop, see module doc).
     Isolated vertices (only in `vertices`) get core 0.
+
+    `mode` is igraph coreness(mode=): "all" treats edges as
+    undirected (default); "in" peels on IN-degree (the k-in-core is
+    the maximal subgraph where every vertex has >= k in-neighbors
+    inside it), "out" on OUT-degree. The Montresor locality/fixpoint
+    argument transfers verbatim: in-coreness(v) =
+    H({in-coreness(u) : u an IN-neighbor of v}) — at the fixpoint the
+    set {u : h(u) >= k} is its own k-in-core, and h >= coreness is an
+    invariant of the iteration — so the directed modes run the SAME
+    fused kernel with the scatter graph oriented sender->receiver =
+    in-neighbor->vertex ("in") or out-neighbor->vertex ("out") and h
+    initialized to the matching directed degree (clip B: a k-in-core
+    has >= k(k+1) <= m edges, so B = isqrt(m)+1).
 
     Round-4 kernel: ONE exchange per superstep. The message stream is
     explicitly repartitioned on dst; hash(dst) partitioning satisfies
@@ -131,10 +145,26 @@ def core_numbers(
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id")
-    und = _und_edges(edges)
-    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    if mode == "all":
+        und = _und_edges(edges)
+        sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    elif mode in ("in", "out"):
+        dedup = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # sender -> receiver: the receiver's h must aggregate its
+        # in-neighbors' ("in") or out-neighbors' ("out") estimates
+        sym = (
+            dedup
+            if mode == "in"
+            else dedup.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    else:
+        raise ValueError(f"coreness mode must be all|in|out, got {mode!r}")
     adj = pack_adjacency(sym, buckets=b).persist()
     # a block references `state` ~5x in its lazy plan (2 per unrolled
     # superstep + the prev_h join), so truncate every 2 blocks (25x
@@ -144,19 +174,28 @@ def core_numbers(
         None, "coreness", spark, mode="local", buckets=b, truncate_every=2
     )
 
-    # out_deg of the symmetric pack IS the simple-graph degree; taking
-    # it from adj avoids a second degree scan (salt-split hub rows all
-    # carry the full degree, hence the distinct)
-    deg = adj.select(F.col("src").alias("id"), F.col("out_deg").alias("h")).distinct()
-
-    # Global clip B >= k_max: a k-core needs >= k(k+1)/2 edges, so
-    # coreness <= sqrt(2m). The h-index operator commutes with
-    # min-clipping at B >= k_max (clipping only moves mass that sits
-    # strictly above every reachable h-index), so iterating on
-    # h~ = min(h, B) reaches the SAME fixpoint = coreness while
-    # bounding every per-vertex histogram at B+1 distinct bins.
-    m = und.count()
-    clip_b = int(math.isqrt(2 * m)) + 1
+    if mode == "all":
+        # out_deg of the symmetric pack IS the simple-graph degree;
+        # taking it from adj avoids a second degree scan (salt-split
+        # hub rows all carry the full degree, hence the distinct)
+        deg = adj.select(
+            F.col("src").alias("id"), F.col("out_deg").alias("h")
+        ).distinct()
+        # Global clip B >= k_max: a k-core needs >= k(k+1)/2 edges, so
+        # coreness <= sqrt(2m). The h-index operator commutes with
+        # min-clipping at B >= k_max (clipping only moves mass that
+        # sits strictly above every reachable h-index), so iterating
+        # on h~ = min(h, B) reaches the SAME fixpoint = coreness while
+        # bounding every per-vertex histogram at B+1 distinct bins.
+        m = und.count()
+        clip_b = int(math.isqrt(2 * m)) + 1
+    else:
+        # directed degree of the RECEIVER = fan-in of the scatter graph
+        deg = sym.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("h")
+        )
+        m = sym.count()
+        clip_b = int(math.isqrt(m)) + 1
 
     state = (
         verts.join(deg, "id", "left")
