@@ -31,8 +31,10 @@ from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
+from graftlink import cycles as _cycles
 from graftlink import mis as _mis
 from graftlink import motifs as _motifs
+from graftlink import vertices as _vertices
 from graftlink import mst as _mst_sql
 from graftlink import truss as _truss_sql
 from graftlink import multimodal as _multimodal
@@ -1001,6 +1003,28 @@ def _q_motif_census_4(spark, sf_dir):
     return motif_census_4(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_girth(spark, sf_dir):
+    """igraph_girth, EXACT (all roots): batched Brandes-forward BFS +
+    the sigma-guarded candidate rule (graftlink/cycles.py). Oracle is
+    algorithm-independent: min over edges of (shortest endpoint path
+    avoiding that edge) + 1, depth-capped at 12 (exact whenever the
+    girth is <= 13 — the doc graph's is 3)."""
+    from graftlink.cycles import girth
+
+    return girth(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_strength(spark, sf_dir):
+    """igraph Graph.strength(weights=): weighted degree over the
+    shared synthetic weighted view (graftlink/vertices.py)."""
+    from graftlink.vertices import strength
+
+    return strength(_weighted_doc_edges(spark, sf_dir), weights="weight").select(
+        F.col("id").cast("long").alias("id"),
+        F.round(F.col("strength"), 6).alias("strength"),
+    )
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1097,6 +1121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_size_2": _q_neighborhood_size_2,
         # ---- new in round 4: order-4 motif census ----
         "motif_census_4": _q_motif_census_4,
+        # ---- new in round 4: girth + strength ----
+        "girth": _q_girth,
+        "strength_weighted": _q_strength,
         # ---- new in round 4: shortest-path reconstruction ----
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
@@ -1435,6 +1462,14 @@ def oracle_sql() -> dict[str, str]:
         "core_numbers_in": _isql.core_numbers_sql(_CLEAN, mode="in"),
         "neighborhood_size_2": _metrics.neighborhood_size_sql(_CLEAN, 2),
         "motif_census_4": _motifs.motif_census_sql(_CLEAN),
+        "girth": _cycles.girth_sql(_CLEAN, max_depth=12),
+        "strength_weighted": f"""
+            SELECT id, round(strength, 6) AS strength FROM (
+                {_vertices.strength_sql(
+                    _CLEAN,
+                    "CAST(src % 7 + dst % 3 + 1 AS DOUBLE)")}
+            )
+        """,
         "assortativity_by_lang": _metrics.assortativity_nominal_sql(
             _CLEAN, "SELECT doc_id AS id, lang AS cat FROM documents"
         ),

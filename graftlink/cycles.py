@@ -1,0 +1,197 @@
+"""Girth — shortest cycle length.
+
+igraph surface matched: `igraph_girth` (igraph@0.10.x
+src/properties/girth.c [unverified file]) — igraph runs the
+Itai–Rodeh O(nm) per-root BFS closure; the distributed formulation
+below batches ALL roots through one level-synchronous forward pass
+(the same (source, id)-keyed superstep family as betweenness/
+multi-source BFS) and reads the answer off two edge joins.
+
+Candidate rule (per root r, over simple undirected edges (u, v)):
+
+  dist_r(u) == dist_r(v)             ->  2*dist + 1
+      (the closed walk r..u-v..r has ODD length, and every closed
+       walk of odd length contains an odd cycle no longer than it)
+  dist_r(v) == dist_r(u) + 1 AND sigma_r(v) > sigma_r(u)
+                                     ->  dist_r(u) + dist_r(v) + 1
+      (sigma = number of shortest paths, the Brandes forward count.
+       sigma_r(v) > sigma_r(u) certifies a shortest r..v path whose
+       last hop is NOT u — so the union of the two routes contains a
+       genuine cycle of length <= the candidate. Without the sigma
+       guard the walk can be fully degenerate (r..u-v then back over
+       the same edge) and the naive candidate UNDERcounts.)
+
+Soundness: every accepted candidate bounds a real cycle from above,
+so min >= girth. Attainment: root r ON a shortest cycle C_g sees, for
+odd g, the antipodal same-level edge (candidate exactly g); for even
+g, the antipodal vertex w has two cycle parents, hence
+sigma(w) >= 2*sigma(parent-side) > sigma(u) (candidate exactly g).
+So the min over ALL roots is EXACT. `roots=` restricts to a sample:
+the result is then an upper bound (inf-safe), the declared web-scale
+envelope — exact girth is Theta(nm) by the ALGORITHM (igraph pays the
+same), mirroring the walktrap precedent.
+
+Multigraph view: a self-loop is a 1-cycle, a parallel pair a 2-cycle
+(checked first with two scalar aggs); the BFS pass then runs on the
+canonical simple graph.
+
+Shape: the forward pass is depth supersteps over (source, id) state —
+one packed-adjacency hash join + one partial-agg sum per level,
+frontier-sized frames, localCheckpoint per level. The candidate scan
+is two broadcast/shuffle-hash joins of the edge list against the
+distance table and one scalar min. No windows, no sorts, no
+driver-side loops over rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graftlink.adjacency import pack_adjacency
+
+
+def girth(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """One-row DF[girth] — length of the shortest cycle of the
+    undirected multigraph view; NULL when the graph is acyclic
+    (igraph returns infinity). Exact with roots=None (all vertices,
+    Theta(nm) — igraph's own cost); with a root sample the value is
+    an upper bound."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    loops = edges.where(F.col("src") == F.col("dst")).limit(1).count()
+    if loops:
+        return spark.createDataFrame([(1,)], "girth long")
+    pairs = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).groupBy("a", "b").agg(F.count("*").alias("mult"))
+    par = pairs.where(F.col("mult") >= 2).limit(1).count()
+    if par:
+        return spark.createDataFrame([(2,)], "girth long")
+
+    und = pairs.select("a", "b")
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+
+    if roots is None:
+        seeds = vertex_universe(edges).select(F.col("id").alias("source"))
+    else:
+        seeds = spark.createDataFrame(
+            [(int(r),) for r in roots], "source long"
+        )
+    # state: (source, id, dist, sigma) — Brandes forward counts
+    state = seeds.select(
+        "source",
+        F.col("source").alias("id"),
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    frontier = state
+    for depth in range(1, max_depth + 1):
+        msgs = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"), "sigma")
+        )
+        nxt = (
+            msgs.groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                state.select("source", "id").hint("shuffle_hash"),
+                ["source", "id"],
+                "left_anti",
+            )
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .select("source", "id", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.limit(1).count():
+            break
+        state = state.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"girth forward pass still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+
+    du = state.select(
+        F.col("source").alias("_s1"),
+        F.col("id").alias("_u"),
+        F.col("dist").alias("du"),
+        F.col("sigma").alias("su"),
+    )
+    dv = state.select(
+        F.col("source").alias("_s2"),
+        F.col("id").alias("_v"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sv"),
+    )
+    cand = (
+        sym.join(du, sym["src"] == du["_u"])
+        .join(dv, (du["_s1"] == dv["_s2"]) & (sym["dst"] == dv["_v"]))
+        .where(
+            (F.col("du") == F.col("dv"))
+            | ((F.col("dv") == F.col("du") + 1) & (F.col("sv") > F.col("su")))
+        )
+        .select((F.col("du") + F.col("dv") + 1).cast("long").alias("g"))
+    )
+    return cand.agg(F.min("g").alias("girth"))
+
+
+def girth_sql(clean: str, max_depth: int = 300) -> str:
+    """DuckDB twin, algorithm-INDEPENDENT: for every simple edge e,
+    girth-through-e = (shortest path between its endpoints AVOIDING e)
+    + 1; the girth is the min over edges (plus the self-loop /
+    parallel-edge short-circuits). reach(eid, node, d) runs one BFS
+    per excluded edge."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        loops AS (SELECT count(*) AS c FROM clean WHERE src = dst),
+        pairs AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   count(*) AS mult
+            FROM clean WHERE src <> dst GROUP BY 1, 2
+        ),
+        par AS (SELECT count(*) AS c FROM pairs WHERE mult >= 2),
+        ed AS (
+            SELECT row_number() OVER (ORDER BY a, b) AS eid, a, b
+            FROM pairs
+        ),
+        nb AS (
+            SELECT a AS u, b AS v FROM pairs
+            UNION ALL SELECT b, a FROM pairs
+        ),
+        reach(eid, node, d) AS (
+            SELECT eid, a, 0 FROM ed
+            UNION
+            SELECT r.eid, n.v, r.d + 1
+            FROM reach r
+            JOIN nb n ON n.u = r.node
+            JOIN ed ON ed.eid = r.eid
+            WHERE r.d < {max_depth}
+              AND NOT (least(n.u, n.v) = ed.a AND greatest(n.u, n.v) = ed.b)
+        ),
+        best AS (
+            SELECT r.eid, min(r.d) + 1 AS g
+            FROM reach r JOIN ed ON ed.eid = r.eid AND ed.b = r.node
+            GROUP BY r.eid
+        ),
+        simple_g AS (SELECT min(g) AS g FROM best)
+        SELECT CASE
+                 WHEN (SELECT c FROM loops) > 0 THEN 1
+                 WHEN (SELECT c FROM par) > 0 THEN 2
+                 ELSE (SELECT g FROM simple_g)
+               END AS girth
+    """

@@ -116,3 +116,49 @@ def vertex_universe(edges: DataFrame) -> DataFrame:
         .unionAll(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
+
+
+def strength(
+    edges: DataFrame,
+    weights: str | None = None,
+    direction: str = "all",
+    loops: bool = True,
+) -> DataFrame:
+    """DF[id, strength] — igraph Graph.strength(): weighted degree,
+    the sum of incident edge weights per the orientation
+    ('out'|'in'|'all'; igraph mode=). weights=None falls back to edge
+    multiplicity (strength == degree). A self-loop contributes its
+    weight TWICE in 'all' and once per direction otherwise (igraph's
+    loop convention); loops=False drops self-loops first. Pure
+    partial-agg groupBy — hub mass combines map-side."""
+    w = F.col(weights) if weights else F.lit(1.0)
+    e = edges if loops else edges.where(F.col("src") != F.col("dst"))
+    if direction == "out":
+        keyed = e.select(F.col("src").alias("id"), w.alias("w"))
+    elif direction == "in":
+        keyed = e.select(F.col("dst").alias("id"), w.alias("w"))
+    elif direction == "all":
+        keyed = e.select(F.col("src").alias("id"), w.alias("w")).unionAll(
+            e.select(F.col("dst").alias("id"), w.alias("w"))
+        )
+    else:
+        raise ValueError(f"direction must be out|in|all, got {direction!r}")
+    return keyed.groupBy("id").agg(F.sum("w").alias("strength"))
+
+
+def strength_sql(clean: str, weight_expr: str = "1.0",
+                 direction: str = "all") -> str:
+    """DuckDB twin of strength()."""
+    if direction == "out":
+        inc = f"SELECT src AS id, {weight_expr} AS w FROM clean"
+    elif direction == "in":
+        inc = f"SELECT dst AS id, {weight_expr} AS w FROM clean"
+    else:
+        inc = (
+            f"SELECT src AS id, {weight_expr} AS w FROM clean "
+            f"UNION ALL SELECT dst, {weight_expr} FROM clean"
+        )
+    return f"""
+        WITH clean AS ({clean})
+        SELECT id, sum(w) AS strength FROM ({inc}) GROUP BY id
+    """
