@@ -376,3 +376,63 @@ def test_bridges_supersteps_sort_free(spark):
         assert "Window" not in plan
         assert "row_number" not in plan
         assert "SortMergeJoin" not in plan
+
+
+def test_motif_census_no_enumeration_shapes(spark):
+    """The motif census must stay closed-form: no CartesianProduct /
+    BroadcastNestedLoop (4-set enumeration) and no Window anywhere in
+    the component sums; the wedge-pair cn sum is a partial-agg
+    groupBy (HashAggregate pair)."""
+    from graftlink.motifs import motif_census_4
+
+    e = edges_df(spark, er_edges(50, 0.1, 7))
+    und = (
+        e.select(F.least("src", "dst").alias("a"),
+                 F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct()
+    )
+    inc = und.select(F.col("a").alias("c"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("c"), F.col("a").alias("n"))
+    )
+    n2 = inc.select(F.col("c"), F.col("n").alias("n2"))
+    cn = (
+        inc.join(n2, "c").where(F.col("n") < F.col("n2"))
+        .groupBy("n", "n2").agg(F.count("*").alias("cn"))
+    )
+    agg = cn.agg(F.sum((F.col("cn") * (F.col("cn") - 1)).cast("decimal(38,0)")))
+    plan = plan_of(agg)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    # end-to-end result sanity rides on tests/test_motifs.py
+    motif_census_4(e)
+
+
+def test_girth_candidate_scan_sort_free_and_no_cartesian(spark):
+    """girth()'s full lazy plan: the candidate scan joins the edge
+    list against the (source,id) state with equi-joins only — no
+    CartesianProduct, no Window."""
+    from graftlink.cycles import girth
+
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0)])
+    g = girth(e)
+    plan = plan_of(g)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+
+
+def test_biconn_single_window_is_the_sibling_prefix(spark):
+    """Tarjan-Vishkin's ONE allowed Window is the earlier-sibling
+    prefix sum (partitionBy parent); everything else is hash joins +
+    partial aggs. Assert the full edge-blocks plan contains at most
+    one Window operator and no CartesianProduct."""
+    from graftlink.biconn import biconnected_components
+
+    e = edges_df(spark, er_edges(40, 0.08, 11))
+    blocks = biconnected_components(e)
+    plan = plan_of(blocks)
+    assert plan.count("Window") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
