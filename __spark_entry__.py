@@ -1129,9 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_source_parents": _q_multi_source_parents,
         "sssp_parents": _q_sssp_parents,
         "shortest_path_0_42": _q_shortest_path,
-        # ---- changed in round 4 ----
-        "core_numbers": _q_core_numbers,
-        "curate_corpus": _q_curate_corpus,
+        # ---- new in round 4: bridges (never driver-recorded) ----
+        "bridges": _q_bridges,
         # ---- the 38 rows not in round 3's driver file ----
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
@@ -1227,7 +1226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation) ----
         "louvain_weighted_communities": _q_louvain_weighted,
         "infomap_weighted_communities": _q_infomap_weighted,
-        "bridges": _q_bridges,
+        # ---- changed in round 4 (demoted from the front when the 9
+        # r4-new rows displaced them: both are r03-driver-recorded,
+        # re-verified by the committed CORRECTNESS_FULL_r04 sweep +
+        # their pytest/AB gates) ----
+        "core_numbers": _q_core_numbers,
+        "curate_corpus": _q_curate_corpus,
         "biconnected_blocks": _q_biconnected_blocks,
     }
 
