@@ -367,11 +367,20 @@ def main():
     os.makedirs("BENCH", exist_ok=True)
     iters = stats.get("iterations")
     with open("BENCH/BASELINE.md", "w") as f:
+        iw = scaling["local[32]_secondary"]["iter_walls"]
         f.write(
             "# BENCH — measured numbers (sandbox, 32 cores / 125 GB, "
             "local-mode stand-in for multi-executor)\n\n"
             f"Synthetic power-law graph: n={N_VERTICES:,} vertices, "
             f"m={N_EDGES:,} edges, seed 42 (graftlink/gen.py).\n\n"
+            "Box-state calibration for THIS run (identical 5e7-edge "
+            "PageRank supersteps at local[32]): min "
+            f"{min(iw)} s / median "
+            f"{sorted(iw)[len(iw) // 2]} s / max {max(iw)} s — the "
+            "min/median ratio bounds how much of any wall below is "
+            "shared-box noise rather than plan cost; compare rows "
+            "across BENCH_r*.json with this in mind (documented "
+            "run-to-run drift is ~2x).\n\n"
             "| metric | value | config |\n| --- | --- | --- |\n"
             f"| superstep throughput | {superstep_eps:,.0f} edges/s/superstep "
             f"| PageRank, median steady-state superstep, "
