@@ -1025,6 +1025,30 @@ def _q_strength(spark, sf_dir):
     )
 
 
+def _q_assortativity_values(spark, sf_dir):
+    """igraph assortativity(values=): Pearson of a numeric vertex
+    attribute (n_chars) across both-direction edges
+    (graftlink/metrics.py; numpy-brute parity + degree-reduction
+    pytests)."""
+    from graftlink.metrics import assortativity_values
+
+    docs = read_documents(spark, sf_dir)
+    vals = docs.select(
+        F.col("doc_id").alias("id"), F.col("n_chars").cast("double").alias("x")
+    )
+    return assortativity_values(clean_edges(doc_edges(spark, sf_dir)), vals)
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Cross-corpus line dedup, C4/RefinedWeb keep-first recipe
+    (graftlink/corpus.py line_dedup): global line counts + first-
+    occurrence election on (xxhash64, md5) keys, text reassembled in
+    line order."""
+    from graftlink.corpus import line_dedup
+
+    return line_dedup(read_documents(spark, sf_dir))
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1124,6 +1148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 4: girth + strength ----
         "girth": _q_girth,
         "strength_weighted": _q_strength,
+        # ---- new in round 4: value assortativity + line dedup ----
+        "assortativity_values": _q_assortativity_values,
+        "line_dedup": _q_line_dedup,
         # ---- new in round 4: shortest-path reconstruction ----
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
@@ -1467,6 +1494,10 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_size_2": _metrics.neighborhood_size_sql(_CLEAN, 2),
         "motif_census_4": _motifs.motif_census_sql(_CLEAN),
         "girth": _cycles.girth_sql(_CLEAN, max_depth=12),
+        "assortativity_values": _metrics.assortativity_values_sql(
+            _CLEAN, "SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS x FROM documents"
+        ),
+        "line_dedup": _corpus.line_dedup_sql(),
         "strength_weighted": f"""
             SELECT id, round(strength, 6) AS strength FROM (
                 {_vertices.strength_sql(

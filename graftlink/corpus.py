@@ -375,3 +375,105 @@ def curate_sql(
         s4 AS MATERIALIZED ({capped})
         SELECT doc_id, source, split FROM ({split})
     """
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_dup_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DF[doc_id, n_lines, n_removed, text_clean] — CROSS-corpus line
+    deduplication, the C4/RefinedWeb recipe (within-doc repetition is
+    repetition_signals): a line whose occurrence count across the
+    WHOLE corpus reaches min_dup_count is boilerplate; every
+    occurrence is dropped except the globally FIRST one (min
+    (doc_id, pos) — "keep one copy", deterministic), and each doc's
+    text is reassembled in original line order.
+
+    100 TB shape: lines leave the doc row ONCE (posexplode); the
+    global count + first-occurrence election group on a
+    (xxhash64, md5) 40-byte key pair — the line TEXT itself is never
+    the shuffle key (the exact_dedup discipline); survivors
+    re-assemble with one groupBy(doc_id) over sort_array(collect_list)
+    — output-sized, per-doc arrays bounded by doc length, no Window.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keyed = lines.select(
+        "doc_id", "pos", "line",
+        F.xxhash64("line").alias("h"), F.md5("line").alias("fp"),
+    )
+    stats = keyed.groupBy("h", "fp").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    marked = keyed.join(stats.hint("shuffle_hash"), ["h", "fp"]).select(
+        "doc_id", "pos", "line",
+        (
+            (F.col("cnt") >= min_dup_count)
+            & ~(
+                (F.col("first.doc_id") == F.col("doc_id"))
+                & (F.col("first.pos") == F.col("pos"))
+            )
+        ).alias("drop"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "text_clean")
+    )
+
+
+def line_dedup_sql(min_dup_count: int = 2) -> str:
+    """DuckDB twin over the documents view (same keep-first
+    contract, computed directly on the line text)."""
+    return f"""
+        WITH split AS (
+            SELECT doc_id, string_split(text, chr(10)) AS parts
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, parts[u.i] AS line
+            FROM split, unnest(range(1, len(parts) + 1)) u(i)
+        ),
+        stats AS (
+            SELECT line, count(*) AS cnt,
+                   min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+            FROM lines GROUP BY line
+        ),
+        marked AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (s.cnt >= {min_dup_count}
+                    AND NOT ((s.first).doc_id = l.doc_id
+                             AND (s.first).pos = l.pos)) AS dropped
+            FROM lines l JOIN stats s ON s.line = l.line
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_removed,
+               coalesce(
+                   string_agg(CASE WHEN NOT dropped THEN line END,
+                              chr(10) ORDER BY pos),
+                   '') AS text_clean
+        FROM marked GROUP BY doc_id
+    """

@@ -478,3 +478,45 @@ def neighborhood_size_sql(clean: str, order: int = 2, mode: str = "all") -> str:
         nb AS ({nb})
         SELECT center AS id, count(*) AS size FROM ({ball}) GROUP BY center
     """
+
+
+def assortativity_values(
+    edges: DataFrame,
+    values: DataFrame,
+    value_col: str = "x",
+) -> DataFrame:
+    """One-row DF[assortativity] — igraph assortativity(values=):
+    Pearson correlation of an arbitrary NUMERIC vertex attribute
+    across undirected simple edges, each edge counted in both
+    orientations (the igraph/Newman convention; with the degree as the
+    attribute this reduces to degree_assortativity). values:
+    DF[id, <value_col>]. Two broadcast-eligible joins + one scalar
+    corr agg — nothing vertex-quadratic."""
+    und = _und(edges)
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    va = values.select(F.col("id").alias("a"), F.col(value_col).alias("xa"))
+    vb = values.select(F.col("id").alias("b"), F.col(value_col).alias("xb"))
+    return (
+        both.join(va, "a")
+        .join(vb, "b")
+        .agg(F.round(F.corr("xa", "xb"), 8).alias("assortativity"))
+    )
+
+
+def assortativity_values_sql(clean: str, values_sql: str) -> str:
+    """DuckDB twin; values_sql -> (id, x)."""
+    return f"""
+        WITH clean AS ({clean}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        both_dir AS (
+            SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+        ),
+        vals AS ({values_sql})
+        SELECT round(corr(va.x, vb.x), 8) AS assortativity
+        FROM both_dir e
+        JOIN vals va ON va.id = e.a
+        JOIN vals vb ON vb.id = e.b
+    """
