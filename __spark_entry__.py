@@ -1049,6 +1049,26 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(read_documents(spark, sf_dir))
 
 
+def _q_eccentricity_all(spark, sf_dir):
+    """igraph eccentricity (ALL vertices, exact): batched all-roots
+    BFS with a level-folded per-source max — only the frontier and the
+    k-row accumulator persist, never the (source,id) closure
+    (graftlink/cycles.py; declared Theta(nm) envelope, roots= sampling
+    is the scale path)."""
+    from graftlink.cycles import eccentricity_all
+
+    return eccentricity_all(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_radius_diameter(spark, sf_dir):
+    """igraph radius + diameter, exact (reachable-set semantics,
+    unconn=True): min/max of the exact eccentricities; the sampled
+    pseudo_diameter row remains the web-scale estimator."""
+    from graftlink.cycles import radius_diameter
+
+    return radius_diameter(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1151,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- new in round 4: value assortativity + line dedup ----
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
+        # ---- new in round 4: exact eccentricity / radius / diameter ----
+        "eccentricity_all": _q_eccentricity_all,
+        "radius_diameter": _q_radius_diameter,
         # ---- new in round 4: shortest-path reconstruction ----
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
@@ -1498,6 +1521,8 @@ def oracle_sql() -> dict[str, str]:
             _CLEAN, "SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS x FROM documents"
         ),
         "line_dedup": _corpus.line_dedup_sql(),
+        "eccentricity_all": _cycles.eccentricity_all_sql(_CLEAN),
+        "radius_diameter": _cycles.radius_diameter_sql(_CLEAN),
         "strength_weighted": f"""
             SELECT id, round(strength, 6) AS strength FROM (
                 {_vertices.strength_sql(

@@ -195,3 +195,129 @@ def girth_sql(clean: str, max_depth: int = 300) -> str:
                  ELSE (SELECT g FROM simple_g)
                END AS girth
     """
+
+
+def eccentricity_all(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, ecc] — EXACT eccentricity of every vertex (igraph
+    `eccentricity`, mode=all): max distance to any REACHABLE vertex
+    (per-component semantics, igraph unconn=True). Same batched
+    all-roots forward pass as girth() minus the sigma counts —
+    declared Theta(nm) envelope (igraph pays the same); `roots=`
+    restricts to a sample of CENTERS (their exact eccentricities; the
+    scale path, like the existing sampled eccentricity_harmonic)."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    if roots is None:
+        seeds = vertex_universe(edges).select(F.col("id").alias("source"))
+    else:
+        seeds = spark.createDataFrame([(int(r),) for r in roots], "source long")
+    # running per-source max distance folds level by level: only the
+    # frontier and the k-row ecc accumulator persist, never the full
+    # (source, id) closure
+    frontier = seeds.select(
+        "source", F.col("source").alias("id"), F.lit(0).cast("int").alias("dist")
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    visited = frontier.select("source", "id").localCheckpoint(eager=True)
+    ecc = seeds.select("source", F.lit(0).cast("int").alias("ecc"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), ["source", "id"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.limit(1).count():
+            break
+        visited = visited.unionByName(
+            nxt.select("source", "id")
+        ).localCheckpoint(eager=True)
+        reached = nxt.select("source").distinct().withColumn(
+            "e2", F.lit(depth).cast("int")
+        )
+        ecc = (
+            ecc.join(reached, "source", "left")
+            .select("source", F.greatest("ecc", F.coalesce("e2", F.col("ecc"))).alias("ecc"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"eccentricity BFS still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+    return ecc.select(F.col("source").alias("id"), F.col("ecc").cast("long").alias("ecc"))
+
+
+def radius_diameter(
+    edges: DataFrame,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """One-row DF[radius, diameter] — min / max EXACT eccentricity
+    over all vertices (igraph `radius` / `diameter` with
+    unconn=True reachable-set semantics)."""
+    ecc = eccentricity_all(edges, None, max_depth, buckets)
+    return ecc.agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+
+
+def eccentricity_all_sql(clean: str, max_depth: int = 16) -> str:
+    """DuckDB twin: transitive-closure distances, per-source max."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        reach(source, node, d) AS (
+            -- plain UNION dedup (a recursive CTE cannot re-query its
+            -- own working set, so min-distance pruning is impossible
+            -- here); states are (source, node, d<=cap) triples, which
+            -- is why the twin takes a SMALL depth cap: it is exact
+            -- whenever every eccentricity <= cap, which the Spark
+            -- result itself pins (driver hash compare)
+            SELECT id, id, 0 FROM verts
+            UNION
+            SELECT r.source, n.v, r.d + 1
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE r.d < {max_depth}
+        ),
+        dist AS (SELECT source, node, min(d) AS d FROM reach GROUP BY 1, 2)
+        SELECT source AS id, max(d) AS ecc FROM dist GROUP BY source
+    """
+
+
+def radius_diameter_sql(clean: str, max_depth: int = 16) -> str:
+    return f"""
+        SELECT min(ecc) AS radius, max(ecc) AS diameter
+        FROM ({eccentricity_all_sql(clean, max_depth)})
+    """
