@@ -318,6 +318,17 @@ def main():
     queries["trussness_hindex"] = round(time.monotonic() - t0, 2)
     log(f"trussness: t_max={t_max} {queries['trussness_hindex']}s")
 
+    # Tarjan-Vishkin biconnectivity: forest BFS + 3 label passes + CC
+    # over the tree-edge aux graph (r4). The graph is an expander, so
+    # 0 articulation points is the expected answer — the row measures
+    # the full label/aux/CC machinery, not the output size.
+    from graftlink.biconn import vertex_block_counts
+
+    t0 = time.monotonic()
+    n_ap = vertex_block_counts(edges).where(F.col("n_blocks") >= 2).count()
+    queries["biconn_tv"] = round(time.monotonic() - t0, 2)
+    log(f"biconn_tv: {n_ap} articulation points {queries['biconn_tv']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -422,6 +433,9 @@ def main():
             f"{queries['walks_1k_10step']} s | local[{CPUS}] |\n"
             f"| edge trussness (h-index propagation) | "
             f"{queries['trussness_hindex']} s (t_max={t_max}) "
+            f"| local[{CPUS}] |\n"
+            f"| biconnectivity (Tarjan-Vishkin -> CC) | "
+            f"{queries['biconn_tv']} s ({n_ap} articulation points) "
             f"| local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
