@@ -31,6 +31,7 @@ from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
+from graftlink import bowtie as _bowtie
 from graftlink import cycles as _cycles
 from graftlink import mis as _mis
 from graftlink import motifs as _motifs
@@ -1069,6 +1070,32 @@ def _q_radius_diameter(spark, sf_dir):
     return radius_diameter(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_bowtie_regions(spark, sf_dir):
+    """Bow-tie decomposition of the directed doc link graph (Broder
+    et al. 2000): per-vertex CORE/IN/OUT/TUBE/TENDRIL/DISCONNECTED
+    labels from the engine's own SCC + five frontier reachability
+    sweeps (graftlink/bowtie.py)."""
+    from graftlink.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_bowtie_census(spark, sf_dir):
+    """The Broder headline table: vertices per bow-tie region."""
+    from graftlink.bowtie import bowtie_census
+
+    return bowtie_census(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_path_length_stats(spark, sf_dir):
+    """igraph average_path_length(unconn=True) + global_efficiency,
+    exact: batched all-roots BFS, per-level scalar folds — the
+    (source,id) closure never materializes (graftlink/cycles.py)."""
+    from graftlink.cycles import path_length_stats
+
+    return path_length_stats(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_triad_census(spark, sf_dir):
     """igraph_triad_census: the 16 Davis–Leinhardt MAN classes."""
     from graftlink.triads import triad_census
@@ -1157,6 +1184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in this front: leiden/infomap/walktrap (community
     # family, no SQL-expressible oracle by design).
     return {
+        # ---- new in round 4 session 3: Broder bow-tie decomposition
+        # + exact average path length / global efficiency (these two
+        # displace lang_stats/doc_token_stats from the front 50 —
+        # both stay FULL-sweep + pytest covered) ----
+        "bowtie_regions": _q_bowtie_regions,
+        "path_length_stats": _q_path_length_stats,
         # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1283,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "curate_corpus": _q_curate_corpus,
         "biconnected_blocks": _q_biconnected_blocks,
+        # ---- new in round 4 session 3 (tail: census is a groupBy of
+        # the driver-recorded bowtie_regions row) ----
+        "bowtie_census": _q_bowtie_census,
     }
 
 
@@ -1523,6 +1559,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _corpus.line_dedup_sql(),
         "eccentricity_all": _cycles.eccentricity_all_sql(_CLEAN),
         "radius_diameter": _cycles.radius_diameter_sql(_CLEAN),
+        "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
+        "bowtie_regions": _bowtie.bowtie_sql(_CLEAN),
+        "bowtie_census": _bowtie.bowtie_census_sql(_CLEAN),
         "strength_weighted": f"""
             SELECT id, round(strength, 6) AS strength FROM (
                 {_vertices.strength_sql(

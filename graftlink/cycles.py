@@ -321,3 +321,127 @@ def radius_diameter_sql(clean: str, max_depth: int = 16) -> str:
         SELECT min(ecc) AS radius, max(ecc) AS diameter
         FROM ({eccentricity_all_sql(clean, max_depth)})
     """
+
+
+def path_length_stats(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """One-row DF[avg_path_length, global_efficiency, reachable_pairs]
+    — igraph `average_path_length(unconn=True)` (mean hop distance
+    over ordered REACHABLE pairs) and `global_efficiency` (mean 1/d
+    over ALL ordered pairs, unreachable pairs contributing 0) on the
+    simple undirected view.
+
+    Same batched all-roots forward pass as eccentricity_all; the
+    per-level fold is three Python scalars (pairs, hop-sum,
+    inverse-sum), so the (source, id) closure never materializes —
+    only frontier + visited anti-join state. Declared Theta(nm)
+    envelope (igraph pays the same for the exact value); `roots=`
+    samples source vertices for the scale path (the returned stats
+    become the sampled-source estimate; the efficiency denominator
+    scales to |roots| * (n-1))."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    uni = vertex_universe(edges)
+    n = uni.count()
+    if roots is None:
+        seeds = uni.select(F.col("id").alias("source"))
+        k = n
+    else:
+        seeds = spark.createDataFrame([(int(r),) for r in roots], "source long")
+        k = seeds.count()
+    frontier = seeds.select(
+        "source", F.col("source").alias("id")
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    visited = frontier
+    pairs = 0
+    hop_sum = 0
+    inv_sum = 0.0
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        c = nxt.count()
+        if not c:
+            break
+        pairs += c
+        hop_sum += depth * c
+        inv_sum += c / depth
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"path_length_stats BFS still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+    apl = (hop_sum / pairs) if pairs else float("nan")
+    geff = (inv_sum / (k * (n - 1))) if n > 1 else 0.0
+    return spark.createDataFrame(
+        [(float(apl), float(geff), int(pairs))],
+        "avg_path_length double, global_efficiency double, reachable_pairs long",
+    )
+
+
+def path_length_stats_sql(clean: str, max_depth: int = 16) -> str:
+    """DuckDB twin: the eccentricity closure's (source, node, min d)
+    distances, folded to the two means. Exact whenever every
+    eccentricity <= max_depth (pinned by the Spark result itself).
+    The inverse-distance sum is grouped per distance value first so
+    both engines add <= diameter doubles (and %.6g canonicalization
+    absorbs ordering ulps)."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        reach(source, node, d) AS (
+            SELECT id, id, 0 FROM verts
+            UNION
+            SELECT r.source, n.v, r.d + 1
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE r.d < {max_depth}
+        ),
+        dist AS (
+            SELECT source, node, min(d) AS d FROM reach GROUP BY 1, 2
+        ),
+        lvl AS (
+            SELECT d, count(*) AS c FROM dist WHERE d > 0 GROUP BY d
+        ),
+        n AS (SELECT count(*) AS n FROM verts)
+        SELECT
+            CAST(sum(d * c) AS DOUBLE) / sum(c) AS avg_path_length,
+            sum(CAST(c AS DOUBLE) / d)
+              / ((SELECT n FROM n) * ((SELECT n FROM n) - 1))
+              AS global_efficiency,
+            CAST(sum(c) AS BIGINT) AS reachable_pairs
+        FROM lvl
+    """

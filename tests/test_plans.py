@@ -436,3 +436,28 @@ def test_biconn_single_window_is_the_sibling_prefix(spark):
     assert plan.count("Window") <= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_bowtie_labeling_no_window_no_cartesian(spark):
+    """The bow-tie labeling is a chain of id-keyed joins over the
+    vertex universe feeding one CASE — no Window (a per-region rank
+    would die on the 90%-of-the-web CORE partition) and no cartesian
+    anywhere in SCC + five reachability sweeps + labeling."""
+    from graftlink.bowtie import bowtie_decomposition
+
+    e = edges_df(spark, [(a, b) for a, b in er_edges(40, 0.08, 11) if a != b])
+    plan = plan_of(bowtie_decomposition(e))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "CaseWhen" in plan or "CASE WHEN" in plan
+
+
+def test_path_length_stats_is_scalar_fold(spark):
+    """path_length_stats returns a 1-row local relation: every
+    per-level fold happened as a frontier-sized count, never a
+    (source, id) closure — the result plan carries no join at all."""
+    from graftlink.cycles import path_length_stats
+
+    e = edges_df(spark, [(i, i + 1) for i in range(8)])
+    plan = plan_of(path_length_stats(e))
+    assert "Join" not in plan and "Exchange" not in plan
