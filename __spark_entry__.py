@@ -708,6 +708,21 @@ def _q_lpa_communities(spark, sf_dir):
     return label_propagation(e, checkpoint_mode="local", max_iter=20)
 
 
+def _q_modularity_lpa(spark, sf_dir):
+    """igraph `modularity(membership)` exposed as a standalone metric:
+    Newman modularity of the deterministic LPA partition over the
+    undirected simple view (parallel-edge multiplicity as weight —
+    graftlink/louvain.py modularity()). All sums are integer-valued
+    doubles, so the scalar is bit-deterministic cross-engine."""
+    from graftlink.louvain import modularity
+    from graftlink.lpa import label_propagation
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    comm = label_propagation(e, checkpoint_mode="local", max_iter=20)
+    q = modularity(e, comm)
+    return spark.createDataFrame([(float(q),)], "modularity double")
+
+
 def _q_topo_levels(spark, sf_dir):
     """Longest-path topological layering (igraph topological_sorting
     surface) of the DAG obtained by orienting every undirected edge
@@ -1190,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both stay FULL-sweep + pytest covered) ----
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
+        "modularity_lpa": _q_modularity_lpa,
         # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1560,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity_all": _cycles.eccentricity_all_sql(_CLEAN),
         "radius_diameter": _cycles.radius_diameter_sql(_CLEAN),
         "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
+        "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
         "bowtie_regions": _bowtie.bowtie_sql(_CLEAN),
         "bowtie_census": _bowtie.bowtie_census_sql(_CLEAN),
         "strength_weighted": f"""

@@ -867,3 +867,45 @@ def articulation_points_sql(clean: str) -> str:
         SELECT id FROM ({vertex_block_counts_sql(clean)})
         WHERE n_blocks >= 2
     """
+
+
+def modularity_sql(clean: str, memb: str) -> str:
+    """Newman modularity of an (id, community) membership query over
+    the undirected simple view (parallel-edge multiplicity as weight)
+    — the graftlink.louvain.modularity spec, gamma=1. Every aggregate
+    is a sum of integer-valued doubles, so the scalar is
+    bit-deterministic cross-engine."""
+    return f"""
+        WITH
+        oclean AS ({clean}),
+        memb AS (SELECT id, community FROM ({memb})),
+        und AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM oclean WHERE src <> dst GROUP BY 1, 2
+        ),
+        m2 AS (SELECT sum(w) * 2 AS m2 FROM und),
+        internal AS (
+            SELECT coalesce(sum(2 * u.w), 0) AS i
+            FROM und u
+            JOIN memb ca ON ca.id = u.a
+            JOIN memb cb ON cb.id = u.b
+            WHERE ca.community = cb.community
+        ),
+        deg AS (
+            SELECT id, sum(w) AS k FROM (
+                SELECT a AS id, w FROM und
+                UNION ALL SELECT b AS id, w FROM und
+            ) GROUP BY id
+        ),
+        tot AS (
+            SELECT sum(kt * kt) AS t FROM (
+                SELECT m.community, sum(d.k) AS kt
+                FROM deg d JOIN memb m ON m.id = d.id
+                GROUP BY m.community
+            )
+        )
+        SELECT (SELECT i FROM internal) / (SELECT m2 FROM m2)
+             - (SELECT t FROM tot)
+               / ((SELECT m2 FROM m2) * (SELECT m2 FROM m2)) AS modularity
+    """

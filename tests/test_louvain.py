@@ -153,3 +153,26 @@ def test_leiden_refined_partition_refines_move_partition(spark):
         assert len({p[v] for v in members}) == 1
         if len(members) > 1:
             assert nx.is_connected(g.subgraph(members))
+
+
+def test_modularity_matches_networkx(spark):
+    """The standalone modularity metric (igraph `modularity(membership)`
+    surface, driver row modularity_lpa) vs networkx on an arbitrary
+    fixed partition of a random graph."""
+    import networkx as nx
+    import pytest
+
+    from tests.conftest import edges_df
+    from tests.oracles import er_edges
+
+    pairs = sorted({tuple(sorted(p)) for p in er_edges(40, 0.1, 23) if p[0] != p[1]})
+    e = edges_df(spark, pairs)
+    memb = e.sparkSession.createDataFrame(
+        [(v, v % 4) for v in {x for p in pairs for x in p}],
+        "id long, community long",
+    )
+    got = modularity(e, memb)
+    g = nx.Graph(pairs)
+    comms = [{v for v in g if v % 4 == c} for c in range(4)]
+    want = nx.community.modularity(g, [c for c in comms if c])
+    assert got == pytest.approx(want, abs=1e-12)
