@@ -32,6 +32,7 @@ from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
 from graftlink import bowtie as _bowtie
+from graftlink import rewire as _rewire
 from graftlink import cycles as _cycles
 from graftlink import mis as _mis
 from graftlink import motifs as _motifs
@@ -708,6 +709,17 @@ def _q_lpa_communities(spark, sf_dir):
     return label_propagation(e, checkpoint_mode="local", max_iter=20)
 
 
+def _q_rewire(spark, sf_dir):
+    """igraph `rewire` with a deterministic contract: seeded
+    degree-preserving double-edge swaps driven by the portable mod-P
+    poly-hash (graftlink/rewire.py) — in/out degree sequences and
+    edge count preserved exactly, output hash-replayable by the
+    unrolled DuckDB twin."""
+    from graftlink.rewire import rewire_edges
+
+    return rewire_edges(clean_edges(doc_edges(spark, sf_dir)), rounds=3, seed=42)
+
+
 def _q_modularity_lpa(spark, sf_dir):
     """igraph `modularity(membership)` exposed as a standalone metric:
     Newman modularity of the deterministic LPA partition over the
@@ -1206,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
+        "rewire_null_model": _q_rewire,
         # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1577,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "radius_diameter": _cycles.radius_diameter_sql(_CLEAN),
         "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
         "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
+        "rewire_null_model": _rewire.rewire_sql(_CLEAN, rounds=3, seed=42),
         "bowtie_regions": _bowtie.bowtie_sql(_CLEAN),
         "bowtie_census": _bowtie.bowtie_census_sql(_CLEAN),
         "strength_weighted": f"""
