@@ -1211,10 +1211,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in this front: leiden/infomap/walktrap (community
     # family, no SQL-expressible oracle by design).
     return {
-        # ---- new in round 4 session 3: Broder bow-tie decomposition
-        # + exact average path length / global efficiency (these two
-        # displace lang_stats/doc_token_stats from the front 50 —
-        # both stay FULL-sweep + pytest covered) ----
+        # ---- new in round 4 session 3: Broder bow-tie decomposition,
+        # exact average path length / global efficiency, standalone
+        # modularity, deterministic rewire (these four displace
+        # minhash_signatures / wedge_count / lang_stats /
+        # doc_token_stats from the front 50 — all four stay
+        # FULL-sweep + pytest covered) ----
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
