@@ -709,6 +709,15 @@ def _q_lpa_communities(spark, sf_dir):
     return label_propagation(e, checkpoint_mode="local", max_iter=20)
 
 
+def _q_harmonic_all(spark, sf_dir):
+    """igraph harmonic_centrality (ALL vertices, exact, mode=all):
+    batched all-roots BFS with a per-source sum accumulator; the
+    sampled eccentricity_harmonic row remains the scale path."""
+    from graftlink.cycles import harmonic_all
+
+    return harmonic_all(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_rewire(spark, sf_dir):
     """igraph `rewire` with a deterministic contract: seeded
     degree-preserving double-edge swaps driven by the portable mod-P
@@ -1221,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
         "rewire_null_model": _q_rewire,
+        "harmonic_all": _q_harmonic_all,
         # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1593,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
         "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
         "rewire_null_model": _rewire.rewire_sql(_CLEAN, rounds=3, seed=42),
+        "harmonic_all": _cycles.harmonic_all_sql(_CLEAN),
         "bowtie_regions": _bowtie.bowtie_sql(_CLEAN),
         "bowtie_census": _bowtie.bowtie_census_sql(_CLEAN),
         "strength_weighted": f"""

@@ -445,3 +445,116 @@ def path_length_stats_sql(clean: str, max_depth: int = 16) -> str:
             CAST(sum(c) AS BIGINT) AS reachable_pairs
         FROM lvl
     """
+
+
+def harmonic_all(
+    edges: DataFrame,
+    normalized: bool = False,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, harmonic] — EXACT harmonic centrality of every vertex
+    (igraph `harmonic_centrality`, mode=all): sum of 1/d(v,u) over
+    reachable u != v on the simple undirected view; normalized=True
+    divides by n-1 (igraph's normalized form). The existing
+    eccentricity_harmonic_from_sources row remains the sampled scale
+    path; this is the exact all-roots form — same batched BFS as
+    eccentricity_all, with a per-source SUM accumulator folding level
+    by level (the closure never materializes)."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    uni = vertex_universe(edges)
+    n = uni.count()
+    seeds = uni.select(F.col("id").alias("source"))
+    frontier = seeds.select(
+        "source", F.col("source").alias("id")
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    visited = frontier
+    acc = seeds.select("source", F.lit(0.0).alias("harmonic"))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = nxt.groupBy("source").agg(
+            (F.count("*") / F.lit(float(depth))).alias("h2")
+        )
+        acc = (
+            acc.join(reached, "source", "left")
+            .select(
+                "source",
+                (F.col("harmonic") + F.coalesce("h2", F.lit(0.0))).alias("harmonic"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("source", "id")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"harmonic_all BFS still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+    denom = float(n - 1) if (normalized and n > 1) else 1.0
+    return acc.select(
+        F.col("source").alias("id"),
+        (F.col("harmonic") / F.lit(denom)).alias("harmonic"),
+    )
+
+
+def harmonic_all_sql(clean: str, max_depth: int = 16) -> str:
+    """DuckDB twin: the eccentricity closure's min-distances, folded
+    per source. The inverse sum is grouped per (source, d) first so
+    both engines add <= diameter doubles per vertex (and the driver's
+    %.6g canonicalization absorbs ordering ulps)."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        reach(source, node, d) AS (
+            SELECT id, id, 0 FROM verts
+            UNION
+            SELECT r.source, n.v, r.d + 1
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE r.d < {max_depth}
+        ),
+        dist AS (SELECT source, node, min(d) AS d FROM reach GROUP BY 1, 2),
+        lvl AS (
+            SELECT source, d, count(*) AS c FROM dist WHERE d > 0 GROUP BY 1, 2
+        ),
+        hsum AS (
+            SELECT source, sum(CAST(c AS DOUBLE) / d) AS harmonic
+            FROM lvl GROUP BY source
+        )
+        SELECT v.id, coalesce(h.harmonic, 0.0) AS harmonic
+        FROM verts v LEFT JOIN hsum h ON h.source = v.id
+    """

@@ -56,3 +56,47 @@ def test_sampled_roots_exact_for_those_centers(spark):
     want = nx_ecc(pairs)
     sub = got(spark, pairs, roots=[0, 4])
     assert sub == {0: want[0], 4: want[4]}
+
+
+def test_harmonic_all_vs_networkx(spark):
+    from graftlink.cycles import harmonic_all
+
+    pairs = sorted({tuple(sorted(p)) for p in er_edges(35, 0.09, 13)})
+    got = {
+        r.id: r.harmonic
+        for r in harmonic_all(edges_df(spark, pairs)).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = nx.harmonic_centrality(g)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+
+def test_harmonic_all_normalized_and_twin(spark):
+    import duckdb
+
+    from graftlink.cycles import harmonic_all, harmonic_all_sql
+
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]  # disconnected
+    raw = {
+        r.id: r.harmonic
+        for r in harmonic_all(edges_df(spark, pairs)).collect()
+    }
+    norm = {
+        r.id: r.harmonic
+        for r in harmonic_all(edges_df(spark, pairs), normalized=True).collect()
+    }
+    n = len(raw)
+    for v in raw:
+        assert norm[v] == pytest.approx(raw[v] / (n - 1), rel=1e-12)
+    vals = ",".join(f"({a},{b})" for a, b in pairs)
+    clean = (
+        f"SELECT DISTINCT src, dst FROM (VALUES {vals}) t(src, dst) "
+        "WHERE src <> dst"
+    )
+    orows = dict(duckdb.sql(harmonic_all_sql(clean)).fetchall())
+    assert set(orows) == set(raw)
+    for v in raw:
+        assert orows[v] == pytest.approx(raw[v], rel=1e-12)
