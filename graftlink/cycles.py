@@ -439,7 +439,9 @@ def path_length_stats_sql(clean: str, max_depth: int = 16) -> str:
         n AS (SELECT count(*) AS n FROM verts)
         SELECT
             CAST(sum(d * c) AS DOUBLE) / sum(c) AS avg_path_length,
-            sum(CAST(c AS DOUBLE) / d)
+            -- ordered sum: same increasing-depth addition sequence as
+            -- the Spark scalar fold, so the double is bit-identical
+            sum(CAST(c AS DOUBLE) / d ORDER BY d)
               / ((SELECT n FROM n) * ((SELECT n FROM n) - 1))
               AS global_efficiency,
             CAST(sum(c) AS BIGINT) AS reachable_pairs
@@ -552,7 +554,11 @@ def harmonic_all_sql(clean: str, max_depth: int = 16) -> str:
             SELECT source, d, count(*) AS c FROM dist WHERE d > 0 GROUP BY 1, 2
         ),
         hsum AS (
-            SELECT source, sum(CAST(c AS DOUBLE) / d) AS harmonic
+            -- ORDER BY d inside the aggregate: adds in increasing
+            -- depth, the exact sequence the Spark accumulator uses,
+            -- so the double is BIT-identical (an unordered parallel
+            -- sum can flip a %.6g rounding boundary run-to-run)
+            SELECT source, sum(CAST(c AS DOUBLE) / d ORDER BY d) AS harmonic
             FROM lvl GROUP BY source
         )
         SELECT v.id, coalesce(h.harmonic, 0.0) AS harmonic
