@@ -718,6 +718,28 @@ def _q_harmonic_all(spark, sf_dir):
     return harmonic_all(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_closeness_all(spark, sf_dir):
+    """igraph closeness (ALL vertices, exact, mode=all, reachable-set
+    semantics): same batched all-roots BFS, two INTEGER per-source
+    accumulators (sum of depths, reachable count) — the closeness
+    double is one division of exact integers, bit-deterministic
+    cross-engine. The sampled closeness_sources row remains the
+    web-scale path (declared Theta(nm) envelope, as igraph pays)."""
+    from graftlink.cycles import closeness_all
+
+    return closeness_all(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_center_periphery(spark, sf_dir):
+    """Graph center + periphery (vertices at eccentricity == radius /
+    == diameter), the classic derived surface over igraph
+    eccentricity/radius/diameter: one eccentricity_all sweep + a
+    broadcast 1-row scalar join — all-integer, exact."""
+    from graftlink.cycles import center_periphery
+
+    return center_periphery(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_rewire(spark, sf_dir):
     """igraph `rewire` with a deterministic contract: seeded
     degree-preserving double-edge swaps driven by the portable mod-P
@@ -894,6 +916,16 @@ def _q_curate_corpus(spark, sf_dir):
     from graftlink.corpus import curate
 
     return curate(read_documents(spark, sf_dir))
+
+
+def _q_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing into seq_len=512
+    training sequences: deterministic doc_id order, two-pass prefix
+    sum (no global Window — the vertex-dictionary recipe), Arrow
+    kernel for the running offsets, all-integer manifest output."""
+    from graftlink.corpus import pack_chunks
+
+    return pack_chunks(read_documents(spark, sf_dir), seq_len=512)
 
 
 def _q_mis(spark, sf_dir):
@@ -1231,6 +1263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "rewire_null_model": _q_rewire,
         "harmonic_all": _q_harmonic_all,
+        # ---- new in round 4 session 4: exact all-vertex closeness +
+        # graph center/periphery (displace two more already-r3-recorded
+        # tail rows from the front 50; both stay FULL-sweep + pytest
+        # covered) ----
+        "closeness_all": _q_closeness_all,
+        "center_periphery": _q_center_periphery,
+        "pack_chunks": _q_pack_chunks,
         # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1604,6 +1643,8 @@ def oracle_sql() -> dict[str, str]:
         "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
         "rewire_null_model": _rewire.rewire_sql(_CLEAN, rounds=3, seed=42),
         "harmonic_all": _cycles.harmonic_all_sql(_CLEAN),
+        "closeness_all": _cycles.closeness_all_sql(_CLEAN),
+        "center_periphery": _cycles.center_periphery_sql(_CLEAN),
         "bowtie_regions": _bowtie.bowtie_sql(_CLEAN),
         "bowtie_census": _bowtie.bowtie_census_sql(_CLEAN),
         "strength_weighted": f"""
@@ -1618,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "burt_constraint": _linkpred.constraint_sql(_CLEAN),
         "curate_corpus": _corpus.curate_sql(),
+        "pack_chunks": _corpus.pack_chunks_sql(_texthash.tokens_sql("text"), 512),
         "avg_local_clustering": (
             f"SELECT round(avg(lcc), 8) AS avg_lcc FROM ({_LCC_SQL})"
         ),

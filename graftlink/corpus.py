@@ -477,3 +477,151 @@ def line_dedup_sql(min_dup_count: int = 2) -> str:
                    '') AS text_clean
         FROM marked GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) for LM training
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate every
+    document's token stream in deterministic `id_col` order and split
+    the global stream into fixed-length training sequences of
+    `seq_len` tokens (documents may span chunk boundaries — the
+    pack-then-split recipe used by GPT-2/3-style pretraining, as
+    opposed to greedy no-split bin packing, which is inherently
+    sequential).
+
+    Returns the chunk *manifest* DF[chunk_id, doc_id, doc_tokens,
+    off_in_chunk, tok_start, n_tokens]: one row per (chunk, document
+    slice), all integers, exact. `tok_start` is the slice's offset
+    inside the DOCUMENT, `off_in_chunk` its position inside the
+    CHUNK; sum(n_tokens) per chunk == seq_len except the final chunk.
+    Zero-token documents are dropped (they occupy no stream
+    positions). The actual token gather is a groupBy(chunk_id) over
+    this manifest — chunk contents co-partition by chunk_id.
+
+    100 TB shape: the global running offset uses the same two-pass
+    prefix-sum as the vertex dictionary (vertices.py `two_pass`) —
+    range-repartition by doc_id, per-partition token sums collected
+    to the driver (B longs, nothing else), then a streaming Arrow
+    kernel adds partition offset + running local sum. No global
+    Window, no sort beyond the range partitioner's, and the explode
+    factor is 1 + boundary-crossings (bounded by total_tokens /
+    seq_len). The per-doc token count is the portable whitespace
+    tokenizer (texthash.tokens), so a DuckDB single-window twin
+    replays the identical arithmetic."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from graftlink.texthash import tokens
+
+    spark = docs.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("ntok"),
+        )
+        .where(F.col("ntok") > 0)
+    )
+    ranged = (
+        toks.repartitionByRange(b, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        # fix partition assignment between the two passes
+        # (repartitionByRange samples; a recompute must not resample)
+        .localCheckpoint(eager=True)
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("ntok").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        run = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if run is None:
+                run = offsets[batch.column("_pid")[0].as_py()]
+            nt = batch.column("ntok").to_pylist()
+            starts = []
+            for t in nt:
+                starts.append(run)
+                run += t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("ntok"),
+                    pa.array(starts, pa.int64()),
+                ],
+                ["doc_id", "ntok", "start"],
+            )
+
+    pos = ranged.mapInArrow(kernel, "doc_id long, ntok long, start long")
+    L = int(seq_len)
+    first_c = F.expr(f"start div {L}")
+    last_c = F.expr(f"(start + ntok - 1) div {L}")
+    sp = pos.select(
+        "doc_id", "ntok", "start",
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    c0 = F.col("chunk_id") * F.lit(L)
+    lo = F.greatest(F.col("start"), c0)
+    hi = F.least(F.col("start") + F.col("ntok"), c0 + F.lit(L))
+    return sp.select(
+        "chunk_id",
+        "doc_id",
+        F.col("ntok").alias("doc_tokens"),
+        (lo - c0).cast("long").alias("off_in_chunk"),
+        (lo - F.col("start")).cast("long").alias("tok_start"),
+        (hi - lo).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_chunks_sql(tokens_expr: str, seq_len: int) -> str:
+    """DuckDB twin: one global running-sum window ordered by doc_id
+    (fine at oracle scale; the Spark side's two-pass prefix sum
+    computes the identical integers), then unnest over the chunk
+    span. All-integer arithmetic — exact."""
+    L = int(seq_len)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({tokens_expr}) AS BIGINT) AS ntok
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, ntok,
+                   CAST(coalesce(sum(ntok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start
+            FROM toks WHERE ntok > 0
+        ),
+        sp AS (
+            SELECT doc_id, ntok, start,
+                   unnest(range(start // {L}, (start + ntok - 1) // {L} + 1))
+                       AS chunk_id
+            FROM pos
+        )
+        SELECT chunk_id, doc_id, ntok AS doc_tokens,
+               greatest(start, chunk_id * {L}) - chunk_id * {L} AS off_in_chunk,
+               greatest(start, chunk_id * {L}) - start AS tok_start,
+               least(start + ntok, (chunk_id + 1) * {L})
+                   - greatest(start, chunk_id * {L}) AS n_tokens
+        FROM sp
+    """

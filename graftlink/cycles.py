@@ -564,3 +564,167 @@ def harmonic_all_sql(clean: str, max_depth: int = 16) -> str:
         SELECT v.id, coalesce(h.harmonic, 0.0) AS harmonic
         FROM verts v LEFT JOIN hsum h ON h.source = v.id
     """
+
+
+def closeness_all(
+    edges: DataFrame,
+    normalized: bool = False,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, sum_dist, reachable, closeness] — EXACT closeness
+    centrality of every vertex (igraph `closeness`, mode=all,
+    reachable-set semantics): raw form 1/sum(d(v,u)) over reachable
+    u != v; normalized=True gives the inverse MEAN distance
+    reachable/sum_d (igraph's normalized flag). Vertices with no
+    reachable peer get NULL (igraph returns NaN there).
+
+    Same batched all-roots BFS as eccentricity_all/harmonic_all with
+    two INTEGER per-source accumulators (sum of depths, reachable
+    count) folding level by level — the (source, id) closure never
+    materializes, and the final division of exact integers is
+    bit-deterministic cross-engine. Declared Theta(nm) envelope; the
+    sampled closeness_from_sources row remains the web-scale path."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    seeds = vertex_universe(edges).select(F.col("id").alias("source"))
+    frontier = seeds.select(
+        "source", F.col("source").alias("id")
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    visited = frontier
+    acc = seeds.select(
+        "source",
+        F.lit(0).cast("long").alias("sum_dist"),
+        F.lit(0).cast("long").alias("reachable"),
+    )
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = nxt.groupBy("source").agg(
+            F.count("*").alias("_c"),
+        )
+        acc = (
+            acc.join(reached, "source", "left")
+            .select(
+                "source",
+                (
+                    F.col("sum_dist")
+                    + F.coalesce("_c", F.lit(0)) * F.lit(depth)
+                ).cast("long").alias("sum_dist"),
+                (F.col("reachable") + F.coalesce("_c", F.lit(0)))
+                .cast("long").alias("reachable"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("source", "id")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"closeness_all BFS still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+    num = F.col("reachable").cast("double") if normalized else F.lit(1.0)
+    return acc.select(
+        F.col("source").alias("id"),
+        "sum_dist",
+        "reachable",
+        F.when(F.col("sum_dist") > 0, num / F.col("sum_dist")).alias("closeness"),
+    )
+
+
+def closeness_all_sql(
+    clean: str, normalized: bool = False, max_depth: int = 16
+) -> str:
+    """DuckDB twin: min-distance closure folded to exact integer
+    (sum_dist, reachable) per source; the closeness double is one
+    division of exact integers — bit-identical cross-engine."""
+    num = "CAST(s.reachable AS DOUBLE)" if normalized else "1.0"
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        reach(source, node, d) AS (
+            SELECT id, id, 0 FROM verts
+            UNION
+            SELECT r.source, n.v, r.d + 1
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE r.d < {max_depth}
+        ),
+        dist AS (SELECT source, node, min(d) AS d FROM reach GROUP BY 1, 2),
+        s AS (
+            SELECT source,
+                   CAST(sum(d) AS BIGINT) AS sum_dist,
+                   CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS reachable
+            FROM dist GROUP BY source
+        )
+        SELECT s.source AS id, s.sum_dist, s.reachable,
+               CASE WHEN s.sum_dist > 0
+                    THEN {num} / s.sum_dist END AS closeness
+        FROM s
+    """
+
+
+def center_periphery(
+    edges: DataFrame,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, ecc, is_center, is_periphery] — the graph CENTER
+    (vertices whose eccentricity equals the radius) and PERIPHERY
+    (eccentricity equals the diameter), the classic derived surface
+    over igraph `eccentricity`/`radius`/`diameter` (reachable-set
+    semantics). One eccentricity_all sweep + a broadcast 1-row
+    (radius, diameter) scalar join — all-integer, exact."""
+    ecc = eccentricity_all(edges, None, max_depth, buckets)
+    rd = ecc.agg(
+        F.min("ecc").alias("_r"), F.max("ecc").alias("_d")
+    )
+    return ecc.crossJoin(F.broadcast(rd)).select(
+        "id",
+        "ecc",
+        (F.col("ecc") == F.col("_r")).alias("is_center"),
+        (F.col("ecc") == F.col("_d")).alias("is_periphery"),
+    )
+
+
+def center_periphery_sql(clean: str, max_depth: int = 16) -> str:
+    return f"""
+        WITH e AS ({eccentricity_all_sql(clean, max_depth)}),
+        rd AS (SELECT min(ecc) AS r, max(ecc) AS d FROM e)
+        SELECT e.id, e.ecc,
+               e.ecc = rd.r AS is_center,
+               e.ecc = rd.d AS is_periphery
+        FROM e CROSS JOIN rd
+    """
