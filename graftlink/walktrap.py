@@ -66,41 +66,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graftlink.components import _renumber
+from graftlink.lineage import cut
 from graftlink.louvain import _und_weighted
 
 
-def _cut(df: DataFrame) -> DataFrame:
-    """Materialize + truncate lineage AND drop propagated statistics.
-
-    `localCheckpoint` copies the origin plan's estimated stats into
-    the resulting LogicalRDD; size-only estimation MULTIPLIES child
-    sizeInBytes across joins, so an agglomeration round with ~5
-    join-products makes the stat's bit-length grow ~5x PER ROUND —
-    by round 4 the planner spends minutes in BigInteger Karatsuba
-    multiplication inside SizeInBytesOnlyStatsPlanVisitor (observed:
-    5s -> 11s -> 204s per round on a 10-vertex graph, driver thread
-    pinned in java.math.BigInteger.multiply under
-    JoinSelectionHelper.canBroadcastBySize). Rewrapping the
-    checkpointed RDD in a fresh LogicalRDD (the same
-    internalCreateDataFrame used by PySpark's Arrow path) resets the
-    estimate to spark.sql.defaultSizeInBytes, keeping per-round
-    planning O(1). The data is already materialized by the eager
-    checkpoint; only the bogus statistic is discarded."""
-    ck = df.localCheckpoint(eager=True)
-    try:
-        # Private PySpark internals (tested on Spark 4.1.x): _jdf,
-        # internalCreateDataFrame, queryExecution().toRdd(). Not a
-        # stable API — on any future Spark where they move, fall back
-        # to the plain checkpoint (correct, merely slower per round
-        # because the propagated stats grow) rather than crash.
-        jdf = ck._jdf
-        spk = ck.sparkSession
-        jnew = spk._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(jnew, spk)
-    except Exception:  # pragma: no cover - Spark-version drift guard
-        return ck
+# _cut lives in graftlink.lineage now (shared with flow.py): eager
+# localCheckpoint + propagated-statistics reset, keeping per-round
+# planning O(1) across the agglomeration loop's ~5-join rounds.
+_cut = lambda df: cut(df, eager=True)
 
 
 def _walk_probs(wedges: DataFrame, t: int) -> DataFrame:
