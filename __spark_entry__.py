@@ -632,6 +632,28 @@ def _q_lpa_weighted(spark, sf_dir):
     )
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    """igraph edge_betweenness — Brandes edge-dependency accumulation
+    over the same k-source sample as betweenness_sources."""
+    from graftlink.paths import edge_betweenness_from_sources
+
+    return edge_betweenness_from_sources(
+        clean_edges(doc_edges(spark, sf_dir)), _PATH_SOURCES
+    )
+
+
+def _q_st_mincut(spark, sf_dir):
+    """igraph_st_mincut(0, 42) — canonical maximal-source-side minimum
+    cut via synchronous push-relabel phase 1 (rows-only: max-flow has
+    no SQL-expressible oracle; value gates = tests/test_flow.py parity
+    vs networkx on value + canonical cut + partition). Returns the
+    side partition DF[id, in_s] plus the flow value on every row."""
+    from graftlink.flow import st_mincut
+
+    value, _cut, sides = st_mincut(clean_edges(doc_edges(spark, sf_dir)), 0, 42)
+    return sides.withColumn("flow_value", F.lit(float(value))).orderBy("id")
+
+
 def _q_leiden(spark, sf_dir):
     """Deterministic distributed Leiden (rows-only like Louvain: the
     refinement + seeded-coarsening recursion is not SQL-expressible;
@@ -1240,68 +1262,45 @@ def _q_decontaminate(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
-    # "Next round" #3): the front 50 are now (a) the queries NEW or
-    # CHANGED this round (path reconstruction; core_numbers on the
-    # fused kernel; curate_corpus with cluster canonicalization) and
-    # (b) the 38 rows round 3's driver file did NOT record, so the
-    # union of CORRECTNESS_r03 + CORRECTNESS_r04 covers every
-    # registered query. The tail rows are exactly round 3's recorded
-    # front — already driver-green there, and still verified every
-    # round by `python tools/driver_check.py` (committed as
+    # "Next round" #3), final form: the front 50 are EXACTLY the 48
+    # queries never recorded in any driver file (CORRECTNESS_r01..r03
+    # union) plus the two rows whose kernels CHANGED this round
+    # (core_numbers on the fused histogram kernel, curate_corpus with
+    # cluster canonicalization) — so the union of CORRECTNESS_r01..r04
+    # covers every registered query. The tail rows are all
+    # previously-driver-green and stay verified every round by
+    # `python tools/driver_check.py` (committed as
     # CORRECTNESS_FULL_r{N}.json) plus their pytest gates. Rows-only
-    # entries in this front: leiden/infomap/walktrap (community
-    # family, no SQL-expressible oracle by design).
+    # entries in this front: leiden/infomap/walktrap + the weighted
+    # louvain/infomap variants (community family, no SQL-expressible
+    # oracle by design).
+
     return {
-        # ---- new in round 4 session 3: Broder bow-tie decomposition,
-        # exact average path length / global efficiency, standalone
-        # modularity, deterministic rewire (these four displace
-        # minhash_signatures / wedge_count / lang_stats /
-        # doc_token_stats from the front 50 — all four stay
-        # FULL-sweep + pytest covered) ----
+        # ---- front 50: never driver-recorded (48) + round-4-changed (2) ----
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
         "rewire_null_model": _q_rewire,
         "harmonic_all": _q_harmonic_all,
-        # ---- new in round 4 session 4: exact all-vertex closeness +
-        # graph center/periphery (displace two more already-r3-recorded
-        # tail rows from the front 50; both stay FULL-sweep + pytest
-        # covered) ----
         "closeness_all": _q_closeness_all,
         "center_periphery": _q_center_periphery,
         "pack_chunks": _q_pack_chunks,
-        # ---- new in round 4: Tarjan–Vishkin biconnectivity ----
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
-        # ---- new in round 4: coreness modes + neighborhood size ----
         "core_numbers_in": _q_core_numbers_in,
         "neighborhood_size_2": _q_neighborhood_size_2,
-        # ---- new in round 4: order-4 motif census ----
         "motif_census_4": _q_motif_census_4,
-        # ---- new in round 4: girth + strength ----
         "girth": _q_girth,
         "strength_weighted": _q_strength,
-        # ---- new in round 4: value assortativity + line dedup ----
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
-        # ---- new in round 4: exact eccentricity / radius / diameter ----
         "eccentricity_all": _q_eccentricity_all,
         "radius_diameter": _q_radius_diameter,
-        # ---- new in round 4: shortest-path reconstruction ----
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
         "sssp_parents": _q_sssp_parents,
         "shortest_path_0_42": _q_shortest_path,
-        # ---- new in round 4: bridges (never driver-recorded) ----
         "bridges": _q_bridges,
-        # ---- the 38 rows not in round 3's driver file ----
-        "edges_clean": _q_edges_clean,
-        "out_degree": _q_out_degree,
-        "in_degree": _q_in_degree,
-        "pagerank_personalized": _q_pagerank_personalized,
-        "eigenvector_top20": _q_eigenvector_top20,
-        "k_core_3": _q_k_core_3,
-        "lpa_weighted_communities": _q_lpa_weighted,
         "eccentricity_harmonic": _q_ecc_harmonic,
         "leiden_communities": _q_leiden,
         "infomap_communities": _q_infomap,
@@ -1316,13 +1315,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint": _q_burt_constraint,
         "doc_hash_sample": _q_doc_hash_sample,
         "repetition_signals": _q_repetition_signals,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
         "reciprocal_edges": _q_reciprocal_edges,
         "oneway_edges": _q_oneway_edges,
         "avg_local_clustering": _q_avg_local_clustering,
+        "edge_betweenness": _q_edge_betweenness,
+        "louvain_weighted_communities": _q_louvain_weighted,
+        "infomap_weighted_communities": _q_infomap_weighted,
+        "biconnected_blocks": _q_biconnected_blocks,
+        "st_mincut_0_42": _q_st_mincut,
+        "core_numbers": _q_core_numbers,
+        "curate_corpus": _q_curate_corpus,
+        # ---- tail: driver-recorded in r01/r02/r03 OR derivable from a
+        # front row (bowtie_census = groupBy of bowtie_regions, which
+        # st_mincut_0_42 displaced); FULL-sweep + pytest covered ----
+        "bowtie_census": _q_bowtie_census,
         "weighted_diversity": _q_diversity,
+        "edges_clean": _q_edges_clean,
+        "out_degree": _q_out_degree,
+        "in_degree": _q_in_degree,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "eigenvector_top20": _q_eigenvector_top20,
+        "k_core_3": _q_k_core_3,
+        "lpa_weighted_communities": _q_lpa_weighted,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "component_sizes": _q_component_sizes,
         "minhash_signatures": _q_minhash_signatures,
@@ -1333,15 +1350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "embedding_norms": _q_embedding_norms,
-        # ---- representative re-records to fill the front 50 ----
         "pagerank_top20": _q_pagerank_top20,
         "triangle_count": _q_triangle_count,
         "scc_components": _q_scc,
         "betweenness_sources": _q_betweenness,
         "random_walks": _q_random_walks,
         "simhash_near_dups": _q_simhash_near_dups,
-        # ---- tail: round 3's driver-recorded front (CORRECTNESS_r03
-        # all green); re-verified via tools/driver_check.py ----
         "edges_from_docs": _q_edges,
         "top_in_degree": _q_top_in_degree,
         "transitivity": _q_transitivity,
@@ -1384,21 +1398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
-        # ---- new in round 4 (tail: pytest-gated rows-only, covered
-        # by CORRECTNESS_FULL; the front 50 stays the union-coverage
-        # rotation) ----
-        "louvain_weighted_communities": _q_louvain_weighted,
-        "infomap_weighted_communities": _q_infomap_weighted,
-        # ---- changed in round 4 (demoted from the front when the 9
-        # r4-new rows displaced them: both are r03-driver-recorded,
-        # re-verified by the committed CORRECTNESS_FULL_r04 sweep +
-        # their pytest/AB gates) ----
-        "core_numbers": _q_core_numbers,
-        "curate_corpus": _q_curate_corpus,
-        "biconnected_blocks": _q_biconnected_blocks,
-        # ---- new in round 4 session 3 (tail: census is a groupBy of
-        # the driver-recorded bowtie_regions row) ----
-        "bowtie_census": _q_bowtie_census,
     }
 
 
@@ -1579,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_0_42": _isql.shortest_path_sql(_CLEAN, 0, 42),
         "closeness_sources": _isql.closeness_sql(_CLEAN, _PATH_SOURCES),
         "betweenness_sources": _isql.betweenness_sql(_CLEAN, _PATH_SOURCES),
+        "edge_betweenness": _isql.edge_betweenness_sql(_CLEAN, _PATH_SOURCES),
         "pseudo_diameter": _isql.pseudo_diameter_sql(_CLEAN, 0),
         "eccentricity_harmonic": _isql.eccentricity_harmonic_sql(_CLEAN, _PATH_SOURCES),
         # round-3 structural operators: unrolled-fixpoint twins (the

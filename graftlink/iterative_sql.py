@@ -615,6 +615,44 @@ def betweenness_sql(
     """
 
 
+def edge_betweenness_sql(
+    clean: str, sources: list[int], max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Brandes EDGE dependency: reuses the per-source vertex blocks;
+    the per-source term of DAG edge (v, w) is
+    sigma_v * ((1 + delta_w) / sigma_w) — the parenthesization matches
+    the Spark side exactly (sigma_v times the precomputed (1+d)/s
+    message). Each id appears on exactly one back{i} round, so the
+    final delta per vertex is a plain GROUP BY sum."""
+    blocks = ",".join(
+        _brandes_source_ctes(i, s, max_depth) for i, s in enumerate(sources)
+    )
+    per_src = " UNION ALL ".join(
+        f"""
+        SELECT e.src, e.dst,
+               sv.sigma * ((1.0 + bd.delta) / sw.sigma) AS c
+        FROM clean e
+        JOIN dist{i} dv ON dv.id = e.src
+        JOIN dist{i} dw ON dw.id = e.dst AND dw.dist = dv.dist + 1
+        JOIN sfin{i} sv ON sv.id = e.src
+        JOIN sfin{i} sw ON sw.id = e.dst
+        JOIN (SELECT id, sum(delta) AS delta FROM back{i} GROUP BY id) bd
+          ON bd.id = e.dst"""
+        for i, _s in enumerate(sources)
+    )
+    return f"""
+        WITH RECURSIVE
+        {_prelude(clean)},
+        {blocks},
+        alle AS ({per_src})
+        SELECT e.src, e.dst, round(coalesce(s.b, 0.0), 6) AS betweenness
+        FROM clean e
+        LEFT JOIN (
+            SELECT src, dst, sum(c) AS b FROM alle GROUP BY src, dst
+        ) s ON s.src = e.src AND s.dst = e.dst
+    """
+
+
 # ---------------------------------------------------------------------------
 # Coreness (h-index propagation) / k-core
 # ---------------------------------------------------------------------------

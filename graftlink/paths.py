@@ -687,3 +687,146 @@ def betweenness_from_sources(
     e.unpersist()
     e_by_dst.unpersist()
     return out
+
+
+def edge_betweenness_from_sources(
+    edges: DataFrame,
+    sources: list[int],
+    directed: bool = True,
+    max_depth: int = 100,
+    rescale: bool = False,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[src, dst, betweenness] — Brandes edge-dependency
+    accumulation over the shortest-path DAGs of the given sources
+    (igraph `edge_betweenness`; exact when sources = all vertices,
+    the Brandes-Pich k-sample estimator otherwise, rescale=True
+    multiplying by n/k).
+
+    The per-source contribution of DAG edge (v, w) — an edge with
+    dist(w) = dist(v) + 1 — is sigma_v * (1 + delta_w) / sigma_w
+    (Brandes 2001 §4): each edge lies on exactly ONE level of a
+    source's DAG, so its per-source term is a single product, summed
+    across sources per edge. Both engines compute it as
+    sigma_v * ((1 + delta_w) / sigma_w) — same fp association as the
+    vertex twin. Directed semantics (igraph's default); undirected
+    callers symmetrize and merge orientations themselves.
+
+    Forward pass = betweenness_from_sources' (non-durable); the
+    backward loop derives BOTH the vertex deltas (to keep recursing)
+    and the per-level edge terms from one shared (source, v, w) DAG
+    join per level. Per-level edge frames accumulate in a lazy union
+    (the delta_parts discipline). Edges never on any source's DAG
+    report 0.0 via the left join with the input edge set.
+    """
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e0 = edges.select("src", "dst")
+    if not directed:
+        e0 = e0.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e0.distinct().repartition(b, "src").persist()
+    e_by_dst = e.repartition(b, "dst").persist()
+    mgr = CheckpointManager(None, "ebtw-fwd", spark, mode="local", buckets=b)
+
+    # ---- forward: identical superstep to betweenness_from_sources ----
+    visited = spark.createDataFrame(
+        [(s, s, 0, 1.0) for s in sources],
+        "source long, id long, dist int, sigma double",
+    ).repartition(b, "id")
+    frontier = visited
+    maxlvl = 0
+    converged = False
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(
+                visited.select("source", "id").hint("shuffle_hash"),
+                ["source", "id"],
+                "left_anti",
+            )
+            .select("source", "id", F.lit(depth).cast("int").alias("dist"), "sigma")
+        )
+        visited, row = mgr.save(
+            visited.unionByName(nxt), depth, "id", counters={"depth": depth},
+            stats_cols=[
+                F.sum((F.col("dist") == depth).cast("long")).alias("new_count")
+            ],
+        )
+        if not row["new_count"]:
+            converged = True
+            break
+        maxlvl = depth
+        frontier = visited.where(F.col("dist") == depth)
+    if not converged:
+        raise RuntimeError(
+            f"edge_betweenness forward BFS still growing at max_depth="
+            f"{max_depth}; raise max_depth"
+        )
+
+    # ---- backward: vertex deltas recurse, edge terms accumulate ----
+    acc = visited.where(F.col("dist") == maxlvl).select(
+        "source", "id", "sigma", F.lit(0.0).alias("delta")
+    ).localCheckpoint(eager=True)
+    edge_parts = []
+    for lvl in range(maxlvl - 1, -1, -1):
+        level_rows = visited.where(F.col("dist") == lvl)
+        # (source, v=src, w=dst, _t=(1+delta_w)/sigma_w) for DAG edges
+        # whose head sits on the just-processed level
+        dag = e_by_dst.join(
+            acc.select(
+                "source", F.col("id").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("_t"),
+            ).hint("shuffle_hash"),
+            "dst",
+        )
+        # edge term needs sigma_v of the TAIL, which lives on `lvl`
+        per_edge = (
+            dag.join(
+                level_rows.select(
+                    "source", F.col("id").alias("src"), F.col("sigma").alias("_sv")
+                ).hint("shuffle_hash"),
+                ["source", "src"],
+            )
+            .select("src", "dst", (F.col("_sv") * F.col("_t")).alias("_c"))
+            .localCheckpoint(eager=False)
+        )
+        edge_parts.append(per_edge)
+        contrib = dag.groupBy("source", F.col("src").alias("id")).agg(
+            F.sum("_t").alias("_acc")
+        )
+        acc = (
+            level_rows.join(contrib.hint("shuffle_hash"), ["source", "id"], "left")
+            .select(
+                "source", "id", "sigma",
+                (F.col("sigma") * F.coalesce("_acc", F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    factor = 1.0
+    if rescale and sources:
+        from graftlink.vertices import vertex_universe
+
+        factor = vertex_universe(edges).count() / len(sources)
+    if edge_parts:
+        terms = edge_parts[0]
+        for part in edge_parts[1:]:
+            terms = terms.unionByName(part)
+        eb = terms.groupBy("src", "dst").agg(F.sum("_c").alias("_eb"))
+    else:
+        eb = spark.createDataFrame([], "src long, dst long, _eb double")
+    out = (
+        e.join(eb, ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            F.round(F.coalesce("_eb", F.lit(0.0)) * F.lit(factor), 6).alias(
+                "betweenness"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    e_by_dst.unpersist()
+    return out

@@ -377,3 +377,55 @@ def test_shortest_path_undirected(spark):
         .collect()
     ]
     assert got == _walk_expected(dists, parents, 1)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_edge_betweenness_all_sources_exact(spark, seed):
+    from graftlink.paths import edge_betweenness_from_sources
+
+    n = 25
+    pairs = [(a, b) for a, b in er_edges(n, 0.1, seed) if a != b]
+    g = digraph(pairs, n)
+    want = nx.edge_betweenness_centrality(g, normalized=False)
+    got = {
+        (r.src, r.dst): r.betweenness
+        for r in edge_betweenness_from_sources(
+            edges_df(spark, pairs), sources=list(range(n))
+        ).collect()
+    }
+    assert set(got) == set(pairs)
+    for e in pairs:
+        assert got[e] == pytest.approx(want[e], abs=2e-6), e
+
+
+def test_edge_betweenness_subset_matches_networkx(spark):
+    from graftlink.paths import edge_betweenness_from_sources
+
+    pairs = [(a, b) for a, b in er_edges(20, 0.12, 5) if a != b]
+    g = digraph(pairs, 20)
+    srcs = [0, 3, 7, 11]
+    want = nx.edge_betweenness_centrality_subset(
+        g, sources=srcs, targets=list(g.nodes()), normalized=False
+    )
+    got = {
+        (r.src, r.dst): r.betweenness
+        for r in edge_betweenness_from_sources(
+            edges_df(spark, pairs), sources=srcs
+        ).collect()
+    }
+    for e in pairs:
+        assert got[e] == pytest.approx(want[e], abs=2e-6), e
+
+
+def test_edge_betweenness_path_graph(spark):
+    # directed path 0->1->2->3: edge (i,i+1) carries (i+1)*(3-i) pairs
+    from graftlink.paths import edge_betweenness_from_sources
+
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = {
+        (r.src, r.dst): r.betweenness
+        for r in edge_betweenness_from_sources(
+            edges_df(spark, pairs), sources=[0, 1, 2, 3]
+        ).collect()
+    }
+    assert got == {(0, 1): 3.0, (1, 2): 4.0, (2, 3): 3.0}
