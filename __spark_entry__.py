@@ -632,6 +632,31 @@ def _q_lpa_weighted(spark, sf_dir):
     )
 
 
+def _q_st_connectivity(spark, sf_dir):
+    """igraph st_edge_connectivity + st_vertex_connectivity (0, 42)
+    via the unit-capacity / node-splitting max-flow reductions
+    (rows-only; parity gates = tests/test_flow.py vs networkx)."""
+    from graftlink.flow import st_edge_connectivity, st_vertex_connectivity
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    ec = st_edge_connectivity(e, 0, 42)
+    try:
+        vc = st_vertex_connectivity(e, 0, 42)
+    except ValueError:  # adjacent pair at this sf
+        vc = -1.0
+    return spark.createDataFrame(
+        [(0, 42, float(ec), float(vc))],
+        "s long, t long, edge_connectivity double, vertex_connectivity double",
+    )
+
+
+def _q_subcomponent(spark, sf_dir):
+    """igraph subcomponent(0, mode='all') — vertex 0's weak component."""
+    from graftlink.paths import subcomponent
+
+    return subcomponent(clean_edges(doc_edges(spark, sf_dir)), 0, mode="all")
+
+
 def _q_edge_betweenness(spark, sf_dir):
     """igraph edge_betweenness — Brandes edge-dependency accumulation
     over the same k-source sample as betweenness_sources."""
@@ -1313,7 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_clique_count": _q_four_cliques,
         "assortativity_by_lang": _q_assortativity_by_lang,
         "burt_constraint": _q_burt_constraint,
-        "doc_hash_sample": _q_doc_hash_sample,
+        "subcomponent_0_all": _q_subcomponent,
         "repetition_signals": _q_repetition_signals,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
@@ -1332,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # st_mincut_0_42 displaced); FULL-sweep + pytest covered ----
         "bowtie_census": _q_bowtie_census,
         "weighted_diversity": _q_diversity,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "st_connectivity_0_42": _q_st_connectivity,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1578,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_0_42": _isql.shortest_path_sql(_CLEAN, 0, 42),
         "closeness_sources": _isql.closeness_sql(_CLEAN, _PATH_SOURCES),
         "betweenness_sources": _isql.betweenness_sql(_CLEAN, _PATH_SOURCES),
+        "subcomponent_0_all": _isql.subcomponent_sql(_CLEAN, 0, "all"),
         "edge_betweenness": _isql.edge_betweenness_sql(_CLEAN, _PATH_SOURCES),
         "pseudo_diameter": _isql.pseudo_diameter_sql(_CLEAN, 0),
         "eccentricity_harmonic": _isql.eccentricity_harmonic_sql(_CLEAN, _PATH_SOURCES),

@@ -387,3 +387,81 @@ def st_mincut(
         .select("u", "v", "cap")
     )
     return value, cut, sides
+
+
+def st_edge_connectivity(
+    edges: DataFrame,
+    s: int,
+    t: int,
+    directed: bool = True,
+    max_rounds: int = 2000,
+    buckets: int | None = None,
+) -> float:
+    """igraph `st_edge_connectivity` / `edge_disjoint_paths`: the
+    number of pairwise edge-disjoint s->t paths == unit-capacity max
+    flow (Menger). Parallel input edges each count (igraph semantics;
+    _caps sums per-arc units)."""
+    value, _ = max_flow(
+        edges, s, t, cap_col=None, directed=directed,
+        max_rounds=max_rounds, buckets=buckets,
+    )
+    return value
+
+
+def st_vertex_connectivity(
+    edges: DataFrame,
+    s: int,
+    t: int,
+    directed: bool = True,
+    max_rounds: int = 2000,
+    buckets: int | None = None,
+) -> float:
+    """igraph `st_vertex_connectivity` / `vertex_disjoint_paths`: the
+    number of internally vertex-disjoint s->t paths, via the standard
+    node-splitting reduction (Even 1975): every vertex v becomes
+    v_in = 2v, v_out = 2v+1 with a unit internal arc; each original
+    arc (u, v) becomes (u_out, v_in) with effectively-infinite
+    capacity (n units — a max flow never exceeds n). s and t keep an
+    unconstrained internal arc. The reduction is a pure column map on
+    the edge table, so the flow kernel's partitioning story is
+    unchanged. Raises when (s, t) is an edge — vertex connectivity is
+    undefined for adjacent vertices (igraph raises too)."""
+    if s == t:
+        raise ValueError("st_vertex_connectivity requires s != t")
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).distinct()
+    if not e.where((F.col("src") == s) & (F.col("dst") == t)).isEmpty():
+        raise ValueError(
+            "st_vertex_connectivity undefined for adjacent (s, t)"
+        )
+    n = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    big = float(n + 1)
+    arcs = e.select(
+        (F.col("src") * 2 + 1).alias("src"),
+        (F.col("dst") * 2).alias("dst"),
+        F.lit(big).alias("cap"),
+    )
+    internal = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            (F.col("id") * 2).alias("src"),
+            (F.col("id") * 2 + 1).alias("dst"),
+            F.when(F.col("id").isin(s, t), F.lit(big))
+            .otherwise(F.lit(1.0))
+            .alias("cap"),
+        )
+    )
+    value, _ = max_flow(
+        arcs.unionByName(internal), 2 * s + 1, 2 * t,
+        cap_col="cap", directed=True, max_rounds=max_rounds, buckets=buckets,
+    )
+    return value

@@ -355,6 +355,31 @@ def bfs_sql(clean: str, source: int = 0, max_depth: int = BFS_MAX_DEPTH) -> str:
     """
 
 
+def subcomponent_sql(
+    clean: str, v: int, mode: str = "all", max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """igraph subcomponent: reachability closure over the mode view."""
+    if mode == "out":
+        hop = "SELECT src AS u, dst AS v FROM clean"
+    elif mode == "in":
+        hop = "SELECT dst AS u, src AS v FROM clean"
+    else:
+        hop = "SELECT src AS u, dst AS v FROM clean UNION ALL SELECT dst, src FROM clean"
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        nb AS MATERIALIZED ({hop}),
+        d(id, dist) AS (
+            SELECT CAST({v} AS BIGINT), 0
+            UNION
+            SELECT n.v, dd.dist + 1
+            FROM d dd JOIN nb n ON n.u = dd.id
+            WHERE dd.dist < {max_depth}
+        )
+        SELECT DISTINCT id FROM d
+    """
+
+
 def multi_source_bfs_sql(
     clean: str, sources: list[int], max_depth: int = BFS_MAX_DEPTH
 ) -> str:

@@ -830,3 +830,20 @@ def edge_betweenness_from_sources(
     e.unpersist()
     e_by_dst.unpersist()
     return out
+
+
+def subcomponent(
+    edges: DataFrame,
+    v: int,
+    mode: str = "all",
+    max_depth: int = 100,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id] — igraph `subcomponent(v, mode)`: the vertices reachable
+    FROM v (mode='out'), reaching v (mode='in'), or v's weakly
+    connected component (mode='all'); v itself included. One BFS over
+    the mode view — the visited set IS the answer."""
+    e, dirflag = _mode_edges(edges, mode)
+    return bfs_distances(
+        e, v, max_depth=max_depth, directed=dirflag, buckets=buckets
+    ).select("id")

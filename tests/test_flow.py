@@ -145,3 +145,54 @@ def test_deterministic(spark):
 def test_s_equals_t_raises(spark):
     with pytest.raises(ValueError):
         max_flow(edges_df(spark, [(0, 1)]), 0, 0)
+
+
+def test_st_edge_connectivity(spark):
+    from graftlink.flow import st_edge_connectivity
+
+    pairs = [(0, 1), (1, 4), (0, 2), (2, 4), (0, 3), (3, 4), (1, 2)]
+    g = nx.DiGraph(pairs)
+    want = nx.edge_connectivity(g, 0, 4)
+    got = st_edge_connectivity(edges_df(spark, pairs), 0, 4)
+    assert got == pytest.approx(float(want)) and got == 3.0
+
+
+def test_st_vertex_connectivity(spark):
+    from graftlink.flow import st_vertex_connectivity
+
+    # two internally disjoint 0->5 paths through {1,2} and {3,4},
+    # plus a chord 1->3 that adds no third disjoint path
+    pairs = [(0, 1), (1, 2), (2, 5), (0, 3), (3, 4), (4, 5), (1, 3)]
+    g = nx.DiGraph(pairs)
+    want = nx.node_connectivity(g, 0, 5)
+    got = st_vertex_connectivity(edges_df(spark, pairs), 0, 5)
+    assert got == pytest.approx(float(want)) and got == 2.0
+
+
+def test_st_vertex_connectivity_random_parity(spark):
+    from graftlink.flow import st_vertex_connectivity
+
+    rng = np.random.RandomState(3)
+    n = 14
+    triples = [
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if i != j and rng.rand() < 0.18
+    ]
+    g = nx.DiGraph(triples)
+    s, t = 0, n - 1
+    if g.has_edge(s, t):
+        g.remove_edge(s, t)
+        triples = [p for p in triples if p != (s, t)]
+    g.add_nodes_from([s, t])
+    want = nx.node_connectivity(g, s, t)
+    got = st_vertex_connectivity(edges_df(spark, triples), s, t)
+    assert got == pytest.approx(float(want))
+
+
+def test_st_vertex_connectivity_adjacent_raises(spark):
+    from graftlink.flow import st_vertex_connectivity
+
+    with pytest.raises(ValueError):
+        st_vertex_connectivity(edges_df(spark, [(0, 1)]), 0, 1)

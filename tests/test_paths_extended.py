@@ -429,3 +429,18 @@ def test_edge_betweenness_path_graph(spark):
         ).collect()
     }
     assert got == {(0, 1): 3.0, (1, 2): 4.0, (2, 3): 3.0}
+
+
+def test_subcomponent_modes_match_networkx(spark):
+    from graftlink.paths import subcomponent
+
+    pairs = FIX + [(8, 9)]  # detached component
+    g = digraph(pairs, 10)
+    e = edges_df(spark, pairs)
+    out = {r.id for r in subcomponent(e, 2, mode="out").collect()}
+    assert out == nx.descendants(g, 2) | {2}
+    inn = {r.id for r in subcomponent(e, 2, mode="in").collect()}
+    assert inn == nx.ancestors(g, 2) | {2}
+    allm = {r.id for r in subcomponent(e, 2, mode="all").collect()}
+    assert allm == set(nx.node_connected_component(g.to_undirected(), 2))
+    assert {r.id for r in subcomponent(e, 8, mode="all").collect()} == {8, 9}
