@@ -177,7 +177,7 @@ def _global_relabel(
     res_pos = residual.where(F.col("r") > 0)
     dt = _residual_bfs(res_pos, t, reverse=True, max_depth=max_depth)
     return (
-        universe.join(dt.withColumnRenamed("d", "_dt"), "id", "left")
+        universe.join(dt.withColumnRenamed("d", "_dt").hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             F.when(F.col("id") == s, F.lit(n).cast("long"))
@@ -244,7 +244,7 @@ def max_flow(
     seed_e = seed.groupBy(F.col("v").alias("id")).agg(F.sum("amt").alias("_se"))
     state = (
         _global_relabel(residual, universe, s, t, n, max_rounds)
-        .join(seed_e, "id", "left")
+        .join(seed_e.hint("shuffle_hash"), "id", "left")
         .select("id", "h", F.coalesce("_se", F.lit(0.0)).alias("e"))
         .transform(lambda d: cut(d, eager=False))
     )
@@ -296,7 +296,9 @@ def max_flow(
         # actives that pushed nothing had no admissible arc (an
         # admissible arc always absorbs positive flow) -> relabel
         stuck = active.join(
-            pushes.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+            pushes.select(F.col("u").alias("id")).distinct().hint("shuffle_hash"),
+            "id",
+            "left_anti",
         )
         relab = (
             res_pos.join(stuck.hint("shuffle_hash"), res_pos["u"] == stuck["id"])
@@ -376,7 +378,7 @@ def st_mincut(
         caps.select(F.col("u").alias("id"))
         .unionAll(caps.select(F.col("v").alias("id")))
         .distinct()
-        .join(t_side.withColumn("_t", F.lit(True)), "id", "left")
+        .join(t_side.withColumn("_t", F.lit(True)).hint("shuffle_hash"), "id", "left")
         .select("id", F.coalesce(~F.col("_t"), F.lit(True)).alias("in_s"))
     )
     tu = t_side.withColumnRenamed("id", "u")

@@ -818,7 +818,7 @@ def edge_betweenness_from_sources(
     else:
         eb = spark.createDataFrame([], "src long, dst long, _eb double")
     out = (
-        e.join(eb, ["src", "dst"], "left")
+        e.join(eb.hint("shuffle_hash"), ["src", "dst"], "left")
         .select(
             "src", "dst",
             F.round(F.coalesce("_eb", F.lit(0.0)) * F.lit(factor), 6).alias(

@@ -461,3 +461,64 @@ def test_path_length_stats_is_scalar_fold(spark):
     e = edges_df(spark, [(i, i + 1) for i in range(8)])
     plan = plan_of(path_length_stats(e))
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_flow_supersteps_sort_free_no_window(spark):
+    """Push-relabel's residual updates and push folds must stay
+    ShuffledHashJoin + JVM aggregate: no SortMergeJoin (would re-sort
+    the residual every superstep), no Window (the prefix-capped push
+    fold is one `aggregate` over a per-vertex sorted arc array), no
+    CartesianProduct, no per-row Python."""
+    import graftlink.lineage as gl
+    from graftlink.flow import max_flow
+
+    captured = []
+    orig = gl.cut
+
+    def spy(df, eager=True):
+        captured.append(plan_of(df))
+        return orig(df, eager=eager)
+
+    import graftlink.flow as gf
+
+    gf.cut = spy
+    try:
+        pairs = [(0, 1), (1, 4), (0, 2), (2, 4), (1, 2), (2, 3), (3, 4)]
+        value, _ = max_flow(edges_df(spark, pairs), 0, 4, buckets=4)
+    finally:
+        gf.cut = orig
+    assert value == 2.0 and len(captured) >= 4
+    for plan in captured:
+        assert "SortMergeJoin" not in plan
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_edge_betweenness_backward_sort_free(spark):
+    """The shared (source,v,w) DAG join and both downstream uses
+    (vertex delta agg, per-edge sigma join) must plan sort-free on the
+    persisted hash(dst,B) edge view, like the vertex pass. Patch the
+    CONCRETE DataFrame class (pyspark.sql.classic) — Spark 4's
+    `pyspark.sql.DataFrame` is the abstract base and runtime instances
+    override its methods."""
+    from graftlink.paths import edge_betweenness_from_sources
+
+    e = edges_df(spark, er_edges(70, 0.1, 7))
+    cls = type(e)
+    captured = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(plan_of(self))
+        return orig(self, eager=eager)
+
+    cls.localCheckpoint = spy
+    try:
+        edge_betweenness_from_sources(e, sources=[0, 1], buckets=4)
+    finally:
+        cls.localCheckpoint = orig
+    assert captured
+    for plan in captured:
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
