@@ -937,6 +937,18 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic hash sample: keep all of src0, 40% of
+    src3, 10% of everything else (the wiki/cc/code curation move)."""
+    from graftlink.sampling import stratified_sample
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src3": 0.4}, default_rate=0.1, seed=11,
+    )
+
+
 def _q_avg_local_clustering(spark, sf_dir):
     """igraph_transitivity_avglocal_undirected (mode='zero': deg<2
     vertices count as 0, matching the lcc convention above)."""
@@ -1202,6 +1214,14 @@ def _q_bowtie_census(spark, sf_dir):
     return bowtie_census(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_path_length_hist(spark, sf_dir):
+    """igraph path_length_hist — unordered-pair counts per shortest
+    distance on the simple undirected view."""
+    from graftlink.cycles import path_length_hist
+
+    return path_length_hist(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_path_length_stats(spark, sf_dir):
     """igraph average_path_length(unconn=True) + global_efficiency,
     exact: batched all-roots BFS, per-level scalar folds — the
@@ -1337,9 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "four_clique_count": _q_four_cliques,
         "assortativity_by_lang": _q_assortativity_by_lang,
-        "burt_constraint": _q_burt_constraint,
+        "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
-        "repetition_signals": _q_repetition_signals,
+        "path_length_hist": _q_path_length_hist,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
         "reciprocal_edges": _q_reciprocal_edges,
@@ -1359,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_diversity": _q_diversity,
         "doc_hash_sample": _q_doc_hash_sample,
         "st_connectivity_0_42": _q_st_connectivity,
+        "repetition_signals": _q_repetition_signals,
+        "burt_constraint": _q_burt_constraint,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1637,6 +1659,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_hash_sample": _sampling.hash_sample_sql(
             "SELECT doc_id FROM documents", "doc_id", rate=0.1, seed=7
         ),
+        "stratified_sample": _sampling.stratified_sample_sql(
+            "SELECT doc_id, source FROM documents",
+            "doc_id", "source",
+            {"src0": 1.0, "src3": 0.4}, default_rate=0.1, seed=11,
+        ),
         "repetition_signals": _corpus.repetition_signals_sql(),
         "per_source_cap": _corpus.per_domain_cap_sql(
             "SELECT doc_id, source, n_chars FROM documents",
@@ -1668,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "eccentricity_all": _cycles.eccentricity_all_sql(_CLEAN),
         "radius_diameter": _cycles.radius_diameter_sql(_CLEAN),
         "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
+        "path_length_hist": _cycles.path_length_hist_sql(_CLEAN),
         "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
         "rewire_null_model": _rewire.rewire_sql(_CLEAN, rounds=3, seed=42),
         "harmonic_all": _cycles.harmonic_all_sql(_CLEAN),

@@ -728,3 +728,99 @@ def center_periphery_sql(clean: str, max_depth: int = 16) -> str:
                e.ecc = rd.d AS is_periphery
         FROM e CROSS JOIN rd
     """
+
+
+def path_length_hist(
+    edges: DataFrame,
+    roots: list[int] | None = None,
+    max_depth: int = 300,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[dist, n_pairs] — igraph `path_length_hist`: how many
+    UNORDERED vertex pairs sit at each shortest-path distance on the
+    simple undirected view (igraph counts each pair once; the batched
+    BFS reaches every ordered pair, so per-depth counts halve — they
+    are even by symmetry, checked by the integer division being
+    exact in pytest). Same Theta(nm) declared envelope and `roots=`
+    sampling as path_length_stats; with roots= the counts are the
+    ORDERED (root, target) pair counts (a sample has no symmetry to
+    halve)."""
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    adj = pack_adjacency(sym, buckets=b).persist()
+    uni = vertex_universe(edges)
+    if roots is None:
+        seeds = uni.select(F.col("id").alias("source"))
+        halve = True
+    else:
+        seeds = spark.createDataFrame([(int(r),) for r in roots], "source long")
+        halve = False
+    frontier = seeds.select(
+        "source", F.col("source").alias("id")
+    ).repartition(b, "id").localCheckpoint(eager=True)
+    visited = frontier
+    hist: list[tuple[int, int]] = []
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.select("src", "neighbors")
+            .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"])
+            .select("source", F.explode("neighbors").alias("id"))
+            .distinct()
+            .join(visited.hint("shuffle_hash"), ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        c = nxt.count()
+        if not c:
+            break
+        hist.append((depth, c // 2 if halve else c))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"path_length_hist BFS still growing at max_depth={max_depth}"
+        )
+    adj.unpersist()
+    return spark.createDataFrame(hist or [], "dist int, n_pairs long")
+
+
+def path_length_hist_sql(clean: str, max_depth: int = 16) -> str:
+    """DuckDB twin: per-distance counts of the undirected closure,
+    halved (each unordered pair appears in both directions)."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM clean WHERE src <> dst
+        ),
+        nb AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        reach(source, node, d) AS (
+            SELECT id, id, 0 FROM verts
+            UNION
+            SELECT r.source, n.v, r.d + 1
+            FROM reach r JOIN nb n ON n.u = r.node
+            WHERE r.d < {max_depth}
+        ),
+        dist AS (
+            SELECT source, node, min(d) AS d FROM reach GROUP BY 1, 2
+        )
+        SELECT CAST(d AS INT) AS dist, CAST(count(*) / 2 AS BIGINT) AS n_pairs
+        FROM dist WHERE d > 0 GROUP BY d
+    """

@@ -131,3 +131,59 @@ def assign_splits_sql(
         SELECT *, CASE {' '.join(cases)} ELSE '{last}' END AS {out_col}
         FROM ({source_sql})
     """
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 1,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Deterministic per-stratum hash sample — the curation move
+    "keep 100% of wiki, 10% of common-crawl, 50% of code": each
+    stratum value gets its own keep-rate; unlisted strata fall back to
+    `default_rate`. Same bucket algebra as hash_sample, so membership
+    is a pure function of (key, seed) and the plan stays ONE
+    whole-stage-codegen'd filter on the scan — the per-stratum cut is
+    a CASE on `strata_col`, never a join against a rates table (a
+    broadcast join would also work at 100 TB, but a literal CASE of a
+    few dozen strata folds into the scan predicate and keeps the
+    sample decidable row-locally, partition pruning intact).
+
+    Spark's own `sampleBy` is the API shape being matched; it is
+    RNG-seeded per task and NOT stable across retries/partitionings,
+    which is disqualifying for resumable 100 TB curation jobs.
+    """
+    for name, rate in fractions.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cut = F.lit(int(round(default_rate * DENOM)))
+    for name, rate in sorted(fractions.items()):
+        cut = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(int(round(rate * DENOM)))
+        ).otherwise(cut)
+    return df.where(_bucket_col(F.col(key_col), seed, hash_mode) < cut)
+
+
+def stratified_sample_sql(
+    source_sql: str,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 1,
+) -> str:
+    cases = " ".join(
+        f"WHEN {strata_col} = '{name}' THEN {int(round(rate * DENOM))}"
+        for name, rate in sorted(fractions.items())
+    )
+    return f"""
+        SELECT * FROM ({source_sql})
+        WHERE {_bucket_sql(key_col, seed)}
+            < CASE {cases} ELSE {int(round(default_rate * DENOM))} END
+    """

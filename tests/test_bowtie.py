@@ -169,3 +169,21 @@ def test_path_length_stats_sampled_roots(spark):
     assert r.global_efficiency == pytest.approx(
         sum(1 / d for d in dists) / (2 * 6), rel=1e-12
     )
+
+
+def test_path_length_hist_vs_networkx(spark):
+    from graftlink.cycles import path_length_hist
+    from collections import Counter
+
+    pairs = er_edges(30, 0.12, 9)
+    g = nx.Graph(pairs)
+    want = Counter(
+        d
+        for _, dd in nx.all_pairs_shortest_path_length(g)
+        for d in dd.values()
+        if d > 0
+    )
+    got = {r.dist: r.n_pairs for r in path_length_hist(edges_df(spark, pairs)).collect()}
+    assert got == {d: c // 2 for d, c in want.items()}
+    # halving must be exact: every ordered count even
+    assert all(c % 2 == 0 for c in want.values())

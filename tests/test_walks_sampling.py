@@ -224,3 +224,54 @@ def test_splits_and_sample_agree_across_hash_modes_on_shape(spark):
         counts[r.split] = counts.get(r.split, 0) + 1
     assert sum(counts.values()) == 10_000
     assert counts["train"] > 8 * counts["val"]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from graftlink.sampling import stratified_sample
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 40000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("g"),
+    )
+    out = stratified_sample(
+        df, "k", "g", {"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.1, seed=3
+    )
+    got = {r.g: r.c for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert got.get("s0") == 10000
+    assert got.get("s2") is None
+    assert abs(got["s1"] - 5000) < 300
+    assert abs(got.get("s3", 0) - 1000) < 150
+    # deterministic: identical membership run-to-run
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in stratified_sample(
+        df, "k", "g", {"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.1, seed=3
+    ).collect())
+    assert a == b
+
+
+def test_stratified_sample_matches_duckdb_twin(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+    from graftlink.sampling import stratified_sample, stratified_sample_sql
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("g"),
+    )
+    got = sorted(r.k for r in stratified_sample(
+        df, "k", "g", {"s0": 0.25, "s1": 0.75}, default_rate=0.05, seed=9
+    ).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS k, 's' || (range % 3) AS g FROM range(5000)")
+    want = [
+        r[0]
+        for r in con.execute(
+            stratified_sample_sql(
+                "SELECT k, g FROM t", "k", "g",
+                {"s0": 0.25, "s1": 0.75}, default_rate=0.05, seed=9,
+            ) + " ORDER BY k"
+        ).fetchall()
+    ]
+    assert got == want
