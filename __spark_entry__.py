@@ -43,6 +43,7 @@ from graftlink import multimodal as _multimodal
 from graftlink import similarity as _similarity
 from graftlink import corpus as _corpus
 from graftlink import sampling as _sampling
+from graftlink import relevance as _relevance
 from graftlink import texthash as _texthash
 from graftlink import triads as _triads
 from graftlink import textops as _textops
@@ -937,6 +938,23 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_tfidf_top3(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (smooth idf, term-asc tie-break)."""
+    from graftlink.relevance import tfidf_topk
+
+    return tfidf_topk(read_documents(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
+def _q_bm25_top20(spark, sf_dir):
+    """BM25 top-20 docs for a fixed two-term query (ordered-sum fold)."""
+    from graftlink.relevance import bm25_rank
+
+    return bm25_rank(
+        read_documents(spark, sf_dir).select("doc_id", "text"),
+        "spark shuffle", top=20,
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic hash sample: keep all of src0, 40% of
     src3, 10% of everything else (the wiki/cc/code curation move)."""
@@ -1360,8 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
         "path_length_hist": _q_path_length_hist,
-        "induced_subgraph": _q_induced_subgraph,
-        "contracted_graph": _q_contracted_graph,
+        "tfidf_top3": _q_tfidf_top3,
+        "bm25_top20": _q_bm25_top20,
         "reciprocal_edges": _q_reciprocal_edges,
         "oneway_edges": _q_oneway_edges,
         "avg_local_clustering": _q_avg_local_clustering,
@@ -1381,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_connectivity_0_42": _q_st_connectivity,
         "repetition_signals": _q_repetition_signals,
         "burt_constraint": _q_burt_constraint,
+        "induced_subgraph": _q_induced_subgraph,
+        "contracted_graph": _q_contracted_graph,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1665,6 +1685,12 @@ def oracle_sql() -> dict[str, str]:
             {"src0": 1.0, "src3": 0.4}, default_rate=0.1, seed=11,
         ),
         "repetition_signals": _corpus.repetition_signals_sql(),
+        "tfidf_top3": _relevance.tfidf_topk_sql(
+            "SELECT doc_id, text FROM documents", k=3
+        ),
+        "bm25_top20": _relevance.bm25_rank_sql(
+            "SELECT doc_id, text FROM documents", "spark shuffle", top=20
+        ),
         "per_source_cap": _corpus.per_domain_cap_sql(
             "SELECT doc_id, source, n_chars FROM documents",
             "source",

@@ -1,0 +1,256 @@
+"""TF-IDF term extraction and BM25 document ranking.
+
+Training-pipeline / search layer over the documents table: per-doc
+top-k characteristic terms (TF-IDF — corpus analytics, topic
+labeling, near-dup triage) and query-conditioned document ranking
+(BM25, Robertson-Sparck Jones idf) — the two relevance primitives a
+corpus-curation stack reaches for after dedup/quality.
+
+Scale shape:
+- tokenization is one codegen'd `split(lower(text))` + explode; the
+  (doc, term) tf table is ONE partial-agg groupBy (combines map-side;
+  hub terms like stopwords are just big counter cells, never wide
+  rows).
+- document frequency is a second partial-agg groupBy on term; idf is
+  a broadcast-sized table (vocabulary << corpus) joined broadcast.
+- top-k per doc avoids Window: groupBy(doc) collects the BOUNDED
+  per-doc term list (<= doc length, the line-dedup discipline),
+  sort_array + slice in one JVM expression.
+- BM25 per-doc scoring sums the per-query-term contributions with an
+  ORDERED fold (sort_array over the <=|q| matched terms) so the
+  double is bit-identical to the DuckDB twin's `sum(... ORDER BY
+  term)` — the harmonic-centrality lesson: unordered double sums
+  diverge cross-engine at the 6-dp hash.
+- the final top-N is orderBy(score desc, doc_id).limit(N) —
+  TakeOrderedAndProject, no global sort.
+
+Conventions (mirrored exactly in the DuckDB twins):
+- tokens: lower-cased maximal [a-z0-9]+ runs.
+- tf-idf: tf * (ln((N + 1) / (df + 1)) + 1)  (smooth idf, sklearn's
+  convention), N = corpus doc count.
+- BM25: idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5));
+  score = sum_t idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+  k1 = 1.2, b = 0.75 defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(docs: DataFrame, doc_id: str, text: str) -> DataFrame:
+    """DF[doc_id, term] — one row per token OCCURRENCE."""
+    return (
+        docs.select(
+            F.col(doc_id).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text)), TOKEN_RE)).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def term_frequencies(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """DF[doc_id, term, tf] — raw counts, one partial-agg groupBy."""
+    return _tokens(docs, doc_id, text).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def doc_frequencies(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """DF[term, df] — number of docs containing each term."""
+    return (
+        _tokens(docs, doc_id, text)
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DF[doc_id, term, tfidf] — each doc's k highest-TF-IDF terms
+    (ties broken by term asc, fully deterministic). Smooth-idf
+    convention; see module docstring for the no-Window top-k shape."""
+    tf = term_frequencies(docs, doc_id, text)
+    n = docs.count()
+    idf = doc_frequencies(docs, doc_id, text).select(
+        "term",
+        (F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("tfidf")).alias("_n"), "term", "tfidf")
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("doc_id", F.explode("top").alias("t"))
+        .select("doc_id", F.col("t.term").alias("term"),
+                F.round(F.col("t.tfidf"), 6).alias("tfidf"))
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    query: str,
+    top: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DF[doc_id, score] — the `top` highest-BM25 docs for `query`
+    (ties broken by doc_id asc). The per-doc sum over matched query
+    terms is an ORDERED JVM fold (sorted by term), bit-identical to
+    the twin's ordered SQL sum."""
+    q_terms = sorted(
+        {t for t in __import__("re").split(TOKEN_RE, query.lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    spark = docs.sparkSession
+    tf = term_frequencies(docs, doc_id, text)
+    n = docs.count()
+    dl = _tokens(docs, doc_id, text).groupBy("doc_id").agg(
+        F.count("*").alias("dl")
+    )
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+    idf = (
+        doc_frequencies(docs, doc_id, text)
+        .join(F.broadcast(qdf), "term", "left_semi")
+        .select(
+            "term",
+            F.log(
+                1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("c"),
+        )
+    )
+    score = (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("score")
+        )
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    return score.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(top)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+_TOK = """
+        tok AS (
+            SELECT doc_id, t AS term
+            FROM {src}, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+            WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n FROM ({src}))
+"""
+
+
+def tfidf_topk_sql(source_sql: str, k: int = 3) -> str:
+    tok = _TOK.format(src=f"({source_sql})")
+    return f"""
+        WITH
+        {tok},
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln(((SELECT n FROM n) + 1.0) / (dfreq.df + 1)) + 1.0)
+                       AS tfidf
+            FROM tf JOIN dfreq USING (term)
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT doc_id, term, round(tfidf, 6) AS tfidf
+        FROM ranked WHERE rn <= {k}
+    """
+
+
+def bm25_rank_sql(
+    source_sql: str,
+    query: str,
+    top: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    import re as _re
+
+    q_terms = sorted({t for t in _re.split(TOKEN_RE, query.lower()) if t})
+    qlist = ", ".join(f"('{t}')" for t in q_terms)
+    tok = _TOK.format(src=f"({source_sql})")
+    return f"""
+        WITH
+        {tok},
+        q(term) AS (VALUES {qlist}),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        idf AS (
+            SELECT dfreq.term,
+                   ln(1.0 + ((SELECT n FROM n) - dfreq.df + 0.5)
+                          / (dfreq.df + 0.5)) AS idf
+            FROM dfreq JOIN q USING (term)
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   idf.idf * (tf.tf * ({k1} + 1.0))
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl
+                         / (SELECT avgdl FROM avgdl))) AS c
+            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+        )
+        SELECT doc_id, round(sum(c ORDER BY term), 6) AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT {top}
+    """
