@@ -938,6 +938,43 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_eigenvector_weighted(spark, sf_dir):
+    """igraph eigenvector_centrality(weights=): fixed EIGEN_ITERS
+    bit-replay of the twin, deterministic arithmetic weights."""
+    from graftlink.iterative_sql import EIGEN_ITERS
+    from graftlink.spectral import eigenvector_centrality
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    return (
+        eigenvector_centrality(e, max_iter=EIGEN_ITERS, tol=0.0, weight_col="weight")
+        .select("id", F.round("centrality", 6).alias("centrality"))
+        .orderBy(F.col("centrality").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+def _q_hits_weighted(spark, sf_dir):
+    """igraph hub_score/authority_score(weights=): fixed HITS_ITERS
+    bit-replay of the twin."""
+    from graftlink.iterative_sql import HITS_ITERS
+    from graftlink.spectral import hits
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    return (
+        hits(e, max_iter=HITS_ITERS, tol=0.0, weight_col="weight")
+        .select(
+            "id", F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .orderBy(F.col("authority").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
 def _q_tfidf_top3(spark, sf_dir):
     """Per-doc top-3 TF-IDF terms (smooth idf, term-asc tie-break)."""
     from graftlink.relevance import tfidf_topk
@@ -1371,8 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibcoupling": _q_bibcoupling,
         "dice_similarity": _q_dice_similarity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
-        "knnk": _q_knnk,
-        "dyad_census": _q_dyad_census,
+        "eigenvector_weighted_top20": _q_eigenvector_weighted,
+        "hits_weighted_top20": _q_hits_weighted,
         "four_clique_count": _q_four_cliques,
         "assortativity_by_lang": _q_assortativity_by_lang,
         "stratified_sample": _q_stratified_sample,
@@ -1401,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint": _q_burt_constraint,
         "induced_subgraph": _q_induced_subgraph,
         "contracted_graph": _q_contracted_graph,
+        "knnk": _q_knnk,
+        "dyad_census": _q_dyad_census,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1627,6 +1666,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized": _isql.pagerank_personalized_sql(_CLEAN),
         "hits_top20": _isql.hits_sql(_CLEAN),
         "eigenvector_top20": _isql.eigenvector_sql(_CLEAN),
+        "eigenvector_weighted_top20": _isql.eigenvector_sql(_CLEAN, w_expr="(src % 7 + dst % 3 + 1)"),
+        "hits_weighted_top20": _isql.hits_sql(_CLEAN, w_expr="(src % 7 + dst % 3 + 1)"),
         "katz_top20": _isql.katz_sql(_CLEAN),
         "connected_components": _isql.components_sql(_CLEAN),
         "component_sizes": _isql.component_sizes_sql(_CLEAN),

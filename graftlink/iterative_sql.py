@@ -176,10 +176,15 @@ def pagerank_personalized_sql(
 # ---------------------------------------------------------------------------
 
 
-def hits_sql(clean: str, iters: int = HITS_ITERS, top: int = 20) -> str:
+def hits_sql(
+    clean: str, iters: int = HITS_ITERS, top: int = 20,
+    w_expr: str | None = None,
+) -> str:
     """hub_t = A A^T hub_{t-1} (raw); final hub = hub_N / max,
     authority = A^T hub_{N-1} / max — identical directions to the
-    per-round-normalized Spark loop because the map is linear."""
+    per-round-normalized Spark loop because the map is linear.
+    w_expr: the same edge weight serves A and A^T (weighted HITS)."""
+    w = w_expr or "1.0"
     return f"""
         WITH RECURSIVE
         {_prelude(clean)},
@@ -190,9 +195,9 @@ def hits_sql(clean: str, iters: int = HITS_ITERS, top: int = 20) -> str:
             SELECT r.round + 1, r.id, coalesce(hb.v, 0.0)
             FROM hub r
             LEFT JOIN (
-                SELECT e2.src AS id, sum(a.av) AS v
+                SELECT e2.src AS id, sum(a.av * CAST({w.replace("src", "e2.src").replace("dst", "e2.dst")} AS DOUBLE)) AS v
                 FROM (
-                    SELECT e.dst AS vid, sum(st.h) AS av
+                    SELECT e.dst AS vid, sum(st.h * CAST({w.replace("src", "e.src").replace("dst", "e.dst")} AS DOUBLE)) AS av
                     FROM hub st JOIN clean e ON e.src = st.id
                     GROUP BY e.dst
                 ) a
@@ -206,7 +211,7 @@ def hits_sql(clean: str, iters: int = HITS_ITERS, top: int = 20) -> str:
             SELECT v.id, coalesce(s.a, 0.0) AS a
             FROM verts v
             LEFT JOIN (
-                SELECT e.dst AS id, sum(st.h) AS a
+                SELECT e.dst AS id, sum(st.h * CAST({w.replace("src", "e.src").replace("dst", "e.dst")} AS DOUBLE)) AS a
                 FROM (SELECT id, h FROM hub WHERE round = {iters - 1}) st
                 JOIN clean e ON e.src = st.id
                 GROUP BY e.dst
@@ -250,16 +255,22 @@ def katz_sql(
     """
 
 
-def eigenvector_sql(clean: str, iters: int = EIGEN_ITERS, top: int = 20) -> str:
+def eigenvector_sql(
+    clean: str, iters: int = EIGEN_ITERS, top: int = 20,
+    w_expr: str | None = None,
+) -> str:
     """Leading eigenvector of (A + A^T) — pack_adjacency(undirected)
     keeps one neighbor entry per directed edge, so a reciprocal pair
-    contributes weight 2; the nbrs UNION ALL mirrors that multiset."""
+    contributes weight 2; the nbrs UNION ALL mirrors that multiset.
+    w_expr (over clean's src/dst): both orientations carry the SAME
+    original edge weight — the Spark undirected weighted pack."""
+    w = w_expr or "1.0"
     return f"""
         WITH RECURSIVE
         {_prelude(clean)},
         nb AS (
-            SELECT src AS u, dst AS v FROM clean
-            UNION ALL SELECT dst, src FROM clean
+            SELECT src AS u, dst AS v, CAST({w} AS DOUBLE) AS w FROM clean
+            UNION ALL SELECT dst, src, CAST({w} AS DOUBLE) FROM clean
         ),
         x(round, id, xv) AS (
             SELECT 0, id, CAST(1.0 AS DOUBLE) FROM verts
@@ -267,7 +278,7 @@ def eigenvector_sql(clean: str, iters: int = EIGEN_ITERS, top: int = 20) -> str:
             SELECT r.round + 1, r.id, coalesce(p.v, 0.0)
             FROM x r
             LEFT JOIN (
-                SELECT n.v AS id, sum(st.xv) AS v
+                SELECT n.v AS id, sum(st.xv * n.w) AS v
                 FROM x st JOIN nb n ON n.u = st.id
                 GROUP BY n.v
             ) p ON p.id = r.id

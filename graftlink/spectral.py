@@ -40,6 +40,23 @@ def _pull(adj: DataFrame, state: DataFrame, expr) -> DataFrame:
     return msgs.groupBy("dst").agg(F.sum("_v").alias("_pull"))
 
 
+def _pull_w(adj: DataFrame, state: DataFrame, expr) -> DataFrame:
+    """Weighted _pull: adj packed with weight_col (raw weights in the
+    aligned `wnorm` array); each message is w(u,v) * expr(state-row).
+    Same explode shape — arrays_zip keeps the pairing in one codegen'd
+    projection, no join against an edge-weight table."""
+    joined = adj.select("src", "neighbors", "wnorm").join(
+        state.hint("shuffle_hash"), adj["src"] == state["id"], "inner"
+    ).select("neighbors", "wnorm", expr.alias("_v"))
+    msgs = joined.select(
+        F.explode(F.arrays_zip("neighbors", "wnorm")).alias("z"), "_v"
+    ).select(
+        F.col("z.neighbors").alias("dst"),
+        (F.col("z.wnorm") * F.col("_v")).alias("_v"),
+    )
+    return msgs.groupBy("dst").agg(F.sum("_v").alias("_pull"))
+
+
 def _max_normalize(df: DataFrame, col: str) -> DataFrame:
     mx = df.agg(F.max(col)).collect()[0][0] or 1.0
     return df.withColumn(col, F.col(col) / F.lit(mx))
@@ -51,18 +68,25 @@ def hits(
     max_iter: int = 50,
     tol: float = 1e-9,
     buckets: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """DF[id, hub, authority] — igraph convention: both vectors scaled
     to max 1 at convergence. tol is on the cosine distance between
-    successive normalized hub vectors."""
+    successive normalized hub vectors. weight_col (igraph
+    `hub_score(weights=)`): messages carry w(u,v), i.e. the iteration
+    is on the weighted adjacency — the same edge weight serves A and
+    A^T."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id").repartition(b, "id")
-    fwd = pack_adjacency(edges, buckets=b).persist()  # src -> dsts
-    rev = pack_adjacency(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        buckets=b,
-    ).persist()
+    wkw = dict(weight_col=weight_col, normalize_weights=False) if weight_col else {}
+    pull = _pull_w if weight_col else _pull
+    fwd = pack_adjacency(edges, buckets=b, **wkw).persist()  # src -> dsts
+    rev_edges = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        *([F.col(weight_col)] if weight_col else []),
+    )
+    rev = pack_adjacency(rev_edges, buckets=b, **wkw).persist()
 
     # state: RAW hub values; driver holds the L2 scale h_norm.
     # CheckpointManager(local) gives the persist-based state discipline
@@ -75,13 +99,13 @@ def hits(
     for it in range(max_iter):
         # a_raw = A^T (h_raw/h_norm);  h'_raw = A a_raw — the division
         # folds into the scatter expression, costing no extra pass
-        auth_raw = _pull(fwd, state, F.col("hub") / F.lit(h_norm)).withColumnRenamed(
+        auth_raw = pull(fwd, state, F.col("hub") / F.lit(h_norm)).withColumnRenamed(
             "dst", "id"
         )
         mid = verts.join(auth_raw, "id", "left").select(
             "id", F.coalesce("_pull", F.lit(0.0)).alias("auth_raw")
         )
-        hub_raw = _pull(rev, mid.select("id", "auth_raw"), F.col("auth_raw"))
+        hub_raw = pull(rev, mid.select("id", "auth_raw"), F.col("auth_raw"))
         new_state = (
             mid.join(hub_raw.withColumnRenamed("dst", "id"), "id", "left")
             .select(
@@ -156,20 +180,26 @@ def eigenvector_centrality(
     max_iter: int = 100,
     tol: float = 1e-9,
     buckets: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """DF[id, centrality] — leading eigenvector of the undirected
-    adjacency, max-normalized to 1 (igraph_eigenvector_centrality).
-    tol is on the cosine distance between successive iterates."""
+    adjacency, max-normalized to 1 (igraph_eigenvector_centrality,
+    `weights=` supported: both orientations of an edge carry the SAME
+    original weight, matching igraph's undirected view of a weighted
+    directed edge list). tol is on the cosine distance between
+    successive iterates."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id").repartition(b, "id")
-    adj = pack_adjacency(edges, buckets=b, undirected=True).persist()
+    wkw = dict(weight_col=weight_col, normalize_weights=False) if weight_col else {}
+    pull = _pull_w if weight_col else _pull
+    adj = pack_adjacency(edges, buckets=b, undirected=True, **wkw).persist()
 
     mgr = CheckpointManager(None, "eigen", spark, mode="local", buckets=b)
     state = verts.withColumn("x", F.lit(1.0)).repartition(b, "id")
     x_norm = float(verts.count()) ** 0.5
     for it in range(max_iter):
-        nxt_raw = _pull(adj, state, F.col("x") / F.lit(x_norm)).withColumnRenamed(
+        nxt_raw = pull(adj, state, F.col("x") / F.lit(x_norm)).withColumnRenamed(
             "dst", "id"
         )
         new_state = (

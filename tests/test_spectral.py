@@ -80,3 +80,54 @@ def test_katz_vs_numpy(spark):
     want = np_katz(n, pairs)
     for v in range(n):
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_eigenvector_weighted_vs_numpy(spark):
+    from pyspark.sql import functions as F
+
+    pairs = karate_edges()
+    w = {(a, b): (a % 7 + b % 3 + 1.0) for a, b in pairs}
+    e = edges_df(spark, pairs).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    got = {r.id: r.centrality for r in
+           eigenvector_centrality(e, vertices=spark.range(34), tol=1e-12,
+                                  max_iter=400, weight_col="weight").collect()}
+    A = np.zeros((34, 34))
+    for (a, b), wv in w.items():
+        A[a, b] += wv
+        A[b, a] += wv
+    x = np.ones(34)
+    for _ in range(600):
+        x = A @ x
+        x /= np.linalg.norm(x)
+    x /= x.max()
+    for i in range(34):
+        assert got[i] == pytest.approx(x[i], abs=1e-3), i
+
+
+def test_hits_weighted_vs_numpy(spark):
+    from pyspark.sql import functions as F
+
+    pairs = [(a, b) for a, b in er_edges(30, 0.12, 4) if a != b]
+    e = edges_df(spark, pairs).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    got = {r.id: (r.hub, r.authority) for r in
+           hits(e, tol=1e-12, max_iter=200, weight_col="weight").collect()}
+    n = 30
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[a, b] += a % 7 + b % 3 + 1.0
+    h = np.ones(n)
+    for _ in range(400):
+        a_vec = A.T @ h
+        h = A @ a_vec
+        h /= np.linalg.norm(h) or 1.0
+    a_vec = A.T @ h
+    h_n = h / (h.max() or 1.0)
+    a_n = a_vec / (a_vec.max() or 1.0)
+    ids = sorted(got)
+    for i in ids:
+        assert got[i][0] == pytest.approx(h_n[i], abs=1e-3), ("hub", i)
+        assert got[i][1] == pytest.approx(a_n[i], abs=1e-3), ("auth", i)
