@@ -938,6 +938,16 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_shortest_paths_multi(spark, sf_dir):
+    """igraph get_shortest_paths(0, to=[...]) — batched distributed
+    walk-back over the min-parent tree."""
+    from graftlink.paths import shortest_paths_to
+
+    return shortest_paths_to(
+        clean_edges(doc_edges(spark, sf_dir)), 0, [42, 100, 200, 300, 499]
+    )
+
+
 def _q_eigenvector_weighted(spark, sf_dir):
     """igraph eigenvector_centrality(weights=): fixed EIGEN_ITERS
     bit-replay of the twin, deterministic arithmetic weights."""
@@ -1410,7 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
         "hits_weighted_top20": _q_hits_weighted,
-        "four_clique_count": _q_four_cliques,
+        "shortest_paths_multi": _q_shortest_paths_multi,
         "assortativity_by_lang": _q_assortativity_by_lang,
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
@@ -1440,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contracted_graph": _q_contracted_graph,
         "knnk": _q_knnk,
         "dyad_census": _q_dyad_census,
+        "four_clique_count": _q_four_cliques,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1686,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sssp_parents": _isql.sssp_parents_sql(_CLEAN, 0),
         "shortest_path_0_42": _isql.shortest_path_sql(_CLEAN, 0, 42),
+        "shortest_paths_multi": _isql.shortest_paths_to_sql(_CLEAN, 0, [42, 100, 200, 300, 499]),
         "closeness_sources": _isql.closeness_sql(_CLEAN, _PATH_SOURCES),
         "betweenness_sources": _isql.betweenness_sql(_CLEAN, _PATH_SOURCES),
         "subcomponent_0_all": _isql.subcomponent_sql(_CLEAN, 0, "all"),

@@ -544,6 +544,29 @@ def shortest_path_sql(
     """
 
 
+def shortest_paths_to_sql(
+    clean: str, source: int, targets: list[int], max_depth: int = BFS_MAX_DEPTH
+) -> str:
+    """Batched min-parent walk-backs: one recursive walk per target
+    seeded together (BFS: step == dist of each cell)."""
+    tlist = ", ".join(str(int(t)) for t in targets)
+    return f"""
+        WITH RECURSIVE
+        pts AS MATERIALIZED ({bfs_parents_sql(clean, source, max_depth)}),
+        walk(target, id, dist) AS (
+            SELECT id, id, dist FROM pts WHERE id IN ({tlist})
+            UNION ALL
+            SELECT w.target, p.parent, p2.dist
+            FROM walk w
+            JOIN pts p ON p.id = w.id
+            JOIN pts p2 ON p2.id = p.parent
+            WHERE p.parent IS NOT NULL
+        )
+        SELECT target, CAST(dist AS INT) AS step, id, CAST(dist AS INT) AS dist
+        FROM walk
+    """
+
+
 def pseudo_diameter_sql(
     clean: str, start: int = 0, max_depth: int = BFS_MAX_DEPTH
 ) -> str:

@@ -847,3 +847,83 @@ def subcomponent(
     return bfs_distances(
         e, v, max_depth=max_depth, directed=dirflag, buckets=buckets
     ).select("id")
+
+
+def shortest_paths_to(
+    edges: DataFrame,
+    source: int,
+    targets: list[int],
+    directed: bool = True,
+    weighted: bool = False,
+    weight_col: str = "weight",
+    max_depth: int = 100,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[target, step, id, dist] — one concrete shortest path from
+    `source` to EACH reachable target (igraph get_shortest_paths
+    `to=` form), reconstructed DISTRIBUTEDLY: all k walk-backs run in
+    the same superstep loop (frontier = one (target, cur) row per
+    unfinished target, joined against the persisted parent table), so
+    the loop length is max over targets of dist(target), not the sum
+    — the batched analogue of shortest_path()'s driver walk, with no
+    per-hop driver round-trip except the loop-exit count.
+
+    Paths are the min-parent tree's, so (source, targets) uniquely
+    determines the output (deterministic, SQL-replayable). Unreachable
+    targets are absent. step = 0 (source) .. dist (target)."""
+    spark = edges.sparkSession
+    if weighted:
+        pts = sssp_parents(edges, source, weight_col, max_depth, buckets)
+    else:
+        pts = bfs_parents(edges, source, max_depth, directed, buckets)
+    pts = pts.persist()
+    try:
+        tgt = spark.createDataFrame(
+            [(int(t),) for t in targets], "target long"
+        )
+        cur = (
+            pts.join(tgt.hint("shuffle_hash"), pts["id"] == tgt["target"])
+            .select("target", "id", "dist", "parent")
+            .localCheckpoint(eager=True)
+        )
+        # rows: finished path cells; frontier: rows whose parent is
+        # still to be walked
+        parts = [cur.select("target", "id", "dist")]
+        frontier = cur.where(F.col("parent").isNotNull()).select(
+            "target", F.col("parent").alias("id")
+        )
+        for _ in range(max_depth + 1):
+            step = (
+                pts.join(frontier.hint("shuffle_hash"), "id")
+                .select("target", "id", "dist", "parent")
+                .localCheckpoint(eager=True)
+            )
+            if step.isEmpty():
+                break
+            parts.append(step.select("target", "id", "dist"))
+            frontier = step.where(F.col("parent").isNotNull()).select(
+                "target", F.col("parent").alias("id")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # step index = dist rank along the path; for BFS step == dist,
+        # for weighted paths rank by cumulative dist (strictly
+        # increasing along a positive-weight path)
+        tgt_d = cur.select("target", F.col("dist").alias("_td"))
+        ranked = (
+            out.join(tgt_d.hint("shuffle_hash"), "target")
+            .groupBy("target", "_td")
+            .agg(F.sort_array(F.collect_list(F.struct("dist", "id"))).alias("_p"))
+            .select(
+                "target",
+                F.posexplode("_p").alias("step", "_c"),
+            )
+            .select(
+                "target", F.col("step").cast("int").alias("step"),
+                F.col("_c.id").alias("id"), F.col("_c.dist").alias("dist"),
+            )
+        )
+        return ranked.localCheckpoint(eager=True)
+    finally:
+        pts.unpersist()

@@ -444,3 +444,50 @@ def test_subcomponent_modes_match_networkx(spark):
     allm = {r.id for r in subcomponent(e, 2, mode="all").collect()}
     assert allm == set(nx.node_connected_component(g.to_undirected(), 2))
     assert {r.id for r in subcomponent(e, 8, mode="all").collect()} == {8, 9}
+
+
+def test_shortest_paths_to_matches_single_walks(spark):
+    from graftlink.paths import shortest_path, shortest_paths_to
+
+    pairs = [(a, b) for a, b in er_edges(25, 0.12, 3) if a != b]
+    e = edges_df(spark, pairs)
+    targets = [5, 11, 17, 23]
+    batched = {}
+    for r in shortest_paths_to(e, 0, targets).collect():
+        batched.setdefault(r.target, []).append((r.step, r.id, r.dist))
+    for t in targets:
+        single = [(r.step, r.id, r.dist) for r in shortest_path(e, 0, t).collect()]
+        got = sorted(batched.get(t, []))
+        assert got == sorted(single), t
+    # every returned path is a valid edge walk of the right length
+    g = nx.DiGraph(pairs)
+    for t, cells in batched.items():
+        cells = sorted(cells)
+        ids = [c[1] for c in cells]
+        assert ids[0] == 0 and ids[-1] == t
+        assert len(ids) - 1 == nx.shortest_path_length(g, 0, t)
+        for a, b in zip(ids, ids[1:]):
+            assert g.has_edge(a, b)
+
+
+def test_shortest_paths_to_weighted(spark):
+    from pyspark.sql import functions as F
+    from graftlink.paths import shortest_paths_to
+
+    pairs = [(a, b) for a, b in er_edges(20, 0.15, 8) if a != b]
+    e = edges_df(spark, pairs).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    g = nx.DiGraph()
+    g.add_weighted_edges_from([(a, b, a % 7 + b % 3 + 1.0) for a, b in pairs])
+    out = {}
+    for r in shortest_paths_to(e, 0, [10, 19], weighted=True).collect():
+        out.setdefault(r.target, []).append((r.step, r.id, r.dist))
+    for t, cells in out.items():
+        cells = sorted(cells)
+        ids = [c[1] for c in cells]
+        want_len = nx.dijkstra_path_length(g, 0, t)
+        assert cells[-1][2] == pytest.approx(want_len), t
+        # valid walk with matching cumulative weight
+        total = sum(g[a][b]["weight"] for a, b in zip(ids, ids[1:]))
+        assert total == pytest.approx(want_len)
