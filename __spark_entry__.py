@@ -938,6 +938,16 @@ def _q_doc_hash_sample(spark, sf_dir):
     return hash_sample(docs, "doc_id", rate=0.1, seed=7)
 
 
+def _q_graph_predicates(spark, sf_dir):
+    """igraph vcount/ecount/is_simple/has_multiple/is_connected(WEAK)
+    in one scalar pass (CC kernel for the connectivity bit); runs on
+    the RAW extracted edge table so the loop/multi counters are
+    exercised."""
+    from graftlink.graphops import graph_predicates
+
+    return graph_predicates(doc_edges(spark, sf_dir))
+
+
 def _q_shortest_paths_multi(spark, sf_dir):
     """igraph get_shortest_paths(0, to=[...]) — batched distributed
     walk-back over the min-parent tree."""
@@ -1421,7 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
         "hits_weighted_top20": _q_hits_weighted,
         "shortest_paths_multi": _q_shortest_paths_multi,
-        "assortativity_by_lang": _q_assortativity_by_lang,
+        "graph_predicates": _q_graph_predicates,
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
         "path_length_hist": _q_path_length_hist,
@@ -1451,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knnk": _q_knnk,
         "dyad_census": _q_dyad_census,
         "four_clique_count": _q_four_cliques,
+        "assortativity_by_lang": _q_assortativity_by_lang,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1805,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE src <> dst GROUP BY 1, 2"""
         ),
         "induced_subgraph": _graphops.induced_subgraph_sql(_CLEAN, "id % 7 = 0"),
+        "graph_predicates": _graphops.graph_predicates_sql(_EDGES),
         "contracted_graph": _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
         "reciprocal_edges": f"""
             SELECT e.src, e.dst FROM ({_CLEAN}) e

@@ -250,6 +250,16 @@ def main():
     queries["multi_source_bfs_8src"] = round(time.monotonic() - t0, 2)
     log(f"multi_source_bfs_8src {queries['multi_source_bfs_8src']}s")
 
+    # round 4: edge betweenness shares the vertex pass's forward loop;
+    # the extra cost is one more (source,v,w)-shaped join per backward
+    # level — this row is the scale evidence for that delta
+    from graftlink.paths import edge_betweenness_from_sources
+
+    t0 = time.monotonic()
+    edge_betweenness_from_sources(edges, sources=list(range(8))).count()
+    queries["edge_betweenness_8src"] = round(time.monotonic() - t0, 2)
+    log(f"edge_betweenness_8src {queries['edge_betweenness_8src']}s")
+
     # bounded rounds: full-default Louvain on this graph runs ~60 move
     # rounds across 3 levels (~8 min measured, tools/ab_bench.py) —
     # the bench row pins 2 levels x <=8 rounds so the whole bench
@@ -410,6 +420,8 @@ def main():
             f"({n_scc + 1:,} components) | local[{CPUS}] |\n"
             f"| betweenness (8-source Brandes batch) | "
             f"{queries['betweenness_8src']} s | local[{CPUS}] |\n"
+            f"| edge betweenness (8-source Brandes batch) | "
+            f"{queries['edge_betweenness_8src']} s | local[{CPUS}] |\n"
             f"| multi-source BFS (8 sources) | "
             f"{queries['multi_source_bfs_8src']} s | local[{CPUS}] |\n"
             f"| Louvain (bounded: 2 levels x 8 rounds) | "

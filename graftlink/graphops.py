@@ -97,3 +97,81 @@ def contract_vertices_sql(clean: str, group_expr: str) -> str:
            <> ({group_expr.replace('?', 'dst')})
         GROUP BY 1, 2
     """
+
+
+def graph_predicates(edges: DataFrame) -> DataFrame:
+    """One-row DF[n_vertices, n_edges, n_self_loops, n_multi_edges,
+    is_simple, is_weakly_connected] — igraph's vcount/ecount/
+    is_simple/has_multiple/is_connected(WEAK) predicate surface in a
+    single pass: the count columns are one partial-agg scan of the
+    edge table plus one distinct-vertex count; weak connectivity
+    reuses the engine's CC kernel (component count == 1). All scalar
+    aggregates — no closure, no enumeration."""
+    from graftlink.components import connected_components
+    from graftlink.vertices import vertex_universe
+
+    spark = edges.sparkSession
+    n_v = vertex_universe(edges).count()
+    row = edges.agg(
+        F.count("*").alias("rows"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("loops"),
+    ).collect()[0]
+    n_distinct = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst").distinct().count()
+    )
+    n_multi = int(row["rows"]) - int(row["loops"]) - n_distinct
+    n_comp = (
+        connected_components(edges).agg(F.max("component")).collect()[0][0]
+    )
+    is_conn = n_comp == 0 and n_v > 0
+    return spark.createDataFrame(
+        [(
+            int(n_v), int(row["rows"]), int(row["loops"]), int(n_multi),
+            bool(row["loops"] == 0 and n_multi == 0), bool(is_conn),
+        )],
+        "n_vertices long, n_edges long, n_self_loops long, "
+        "n_multi_edges long, is_simple boolean, is_weakly_connected boolean",
+    )
+
+
+def graph_predicates_sql(clean: str) -> str:
+    """Twin: counts are direct aggregates; weak connectivity via the
+    undirected min-label closure (component count == 1)."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        verts AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM clean UNION ALL SELECT dst FROM clean
+            )
+        ),
+        nb AS (
+            SELECT src AS u, dst AS v FROM clean
+            UNION SELECT dst, src FROM clean
+        ),
+        lbl(id, lab) AS (
+            SELECT id, id FROM verts
+            UNION
+            SELECT n.v, l.lab FROM lbl l JOIN nb n ON n.u = l.id
+            WHERE l.lab < n.v
+        ),
+        comp AS (SELECT id, min(lab) AS lab FROM lbl GROUP BY id),
+        stats AS (
+            SELECT count(*) AS rows_,
+                   sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS loops,
+                   (SELECT count(*) FROM (
+                        SELECT DISTINCT src, dst FROM clean WHERE src <> dst
+                    )) AS dedup
+            FROM clean
+        )
+        SELECT (SELECT count(*) FROM verts) AS n_vertices,
+               rows_ AS n_edges,
+               loops AS n_self_loops,
+               rows_ - loops - dedup AS n_multi_edges,
+               (loops = 0 AND rows_ - loops - dedup = 0) AS is_simple,
+               ((SELECT count(DISTINCT lab) FROM comp) = 1
+                AND (SELECT count(*) FROM verts) > 0)
+                   AS is_weakly_connected
+        FROM stats
+    """

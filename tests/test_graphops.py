@@ -65,3 +65,34 @@ def test_set_algebra(spark):
     assert {
         (r.src, r.dst) for r in graph_difference(da, db).collect()
     } == a - b
+
+
+def test_graph_predicates(spark):
+    from graftlink.graphops import graph_predicates
+
+    # loops, a multi-edge, two components
+    rows = [(0, 1), (1, 2), (0, 1), (2, 2), (3, 4)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = graph_predicates(df).collect()[0]
+    assert got.n_vertices == 5 and got.n_edges == 5
+    assert got.n_self_loops == 1 and got.n_multi_edges == 1
+    assert not got.is_simple and not got.is_weakly_connected
+    # simple connected graph
+    got2 = graph_predicates(
+        spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    ).collect()[0]
+    assert got2.is_simple and got2.is_weakly_connected
+
+
+def test_graph_predicates_twin(spark):
+    import duckdb
+    from graftlink.graphops import graph_predicates, graph_predicates_sql
+
+    rows = [(0, 1), (1, 2), (0, 1), (2, 2), (3, 4), (4, 0)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = tuple(graph_predicates(df).collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", rows)
+    want = con.execute(graph_predicates_sql("SELECT src, dst FROM e")).fetchall()[0]
+    assert got == tuple(want)
