@@ -31,7 +31,10 @@ from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
 from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
+from graftlink import bipartite as _bipartite
 from graftlink import bowtie as _bowtie
+from graftlink import knn as _knn
+from graftlink import pii as _pii
 from graftlink import rewire as _rewire
 from graftlink import cycles as _cycles
 from graftlink import mis as _mis
@@ -1379,6 +1382,115 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, w=8)
 
 
+def _two_mode_edges(spark, sf_dir):
+    """True two-mode graph from the TPC-H-ish fact table: orders on
+    the even ids, parts on the odd ids (disjoint id classes by
+    construction, so the graph is bipartite by design — the positive
+    control for igraph_is_bipartite)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return clean_edges(
+        li.select(
+            (F.col("l_orderkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+
+
+def _q_bipartite_sides(spark, sf_dir):
+    """igraph is_bipartite type vector (BFS-parity sides from
+    per-component min-id roots) on the doc graph."""
+    from graftlink.bipartite import bipartite_sides
+
+    return bipartite_sides(clean_edges(doc_edges(spark, sf_dir)))
+
+
+def _q_bipartite_check(spark, sf_dir):
+    """igraph is_bipartite on the order-part two-mode graph — the
+    positive control (is_bipartite=true, odd_edges=0); the doc graph's
+    sides row above is the negative one (250 odd edges at sf0.01)."""
+    from graftlink.bipartite import bipartite_check
+
+    return bipartite_check(_two_mode_edges(spark, sf_dir))
+
+
+def _q_part_copurchase_top20(spark, sf_dir):
+    """igraph bipartite_projection onto parts: top-20 co-purchased
+    part pairs by shared-order count (hub cap 20 — an order touching
+    >20 parts is projection noise, same contract as cocitation's
+    max_center_degree)."""
+    from graftlink.bipartite import bipartite_projection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        bipartite_projection(li, "l_orderkey", "l_partkey", max_left_degree=20)
+        .orderBy(F.col("weight").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with PII injected deterministically from doc_id
+    arithmetic (the synthetic corpus contains none) — 2 of every 3
+    docs gain an email + an IPv4 + a phone; the third is left clean so
+    the has_pii=false path is exercised. The identical expression runs
+    on the DuckDB side (oracle_sql), so detection AND redaction are
+    value-checked on genuinely matching text."""
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), i.cast("string"),
+        F.lit("@ex"), (i % 7).cast("string"),
+        F.lit(".com or 10."), (i % 256).cast("string"),
+        F.lit(".0."), (i % 100).cast("string"),
+        F.lit(" or +1555"), F.lpad((i % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    return read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(i % 3 != 2, aug).otherwise(F.col("text")).alias("text"),
+    )
+
+
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 <> 2 THEN
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                    || ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' now'
+           ELSE text END AS text
+    FROM documents
+"""
+
+
+def _q_pii_signals(spark, sf_dir):
+    """PII detection counts (email / IPv4 / phone) over the augmented
+    corpus — pure codegen regexp column exprs, no shuffle."""
+    from graftlink.pii import pii_signals
+
+    return pii_signals(_pii_augmented_docs(spark, sf_dir))
+
+
+def _q_pii_redacted(spark, sf_dir):
+    """PII redaction (typed tokens, fixed email->ip->phone order) —
+    the driver hashes the actual redacted strings."""
+    from graftlink.pii import redact_pii
+
+    return redact_pii(_pii_augmented_docs(spark, sf_dir))
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Exact kNN-graph construction over the embeddings table (tiled
+    block-pair matmuls + lossless tile-local top-k prune; the
+    vectors-to-graph bridge: output is a weighted edge table)."""
+    from graftlink.knn import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_graph(emb, k=5, block_rows=128)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1396,7 +1508,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle by design).
 
     return {
-        # ---- front 50: never driver-recorded (48) + round-4-changed (2) ----
+        # ---- front 50: never driver-recorded + round-4-changed ----
+        # Session-4 additions (bipartite family + knn graph) enter at
+        # the very front; sssp_parents / oneway_edges / dice_similarity
+        # / reciprocal_edges rotate to the tail to make room — each is
+        # the sibling of a family member still driver-covered
+        # (bfs/multi_source parents, bibcoupling, r03-recorded
+        # induced/contracted set algebra) and stays verified by the
+        # FULL sweep (tools/driver_check.py) + pytest.
+        "bipartite_sides": _q_bipartite_sides,
+        "bipartite_check": _q_bipartite_check,
+        "part_copurchase_top20": _q_part_copurchase_top20,
+        "knn_graph_5": _q_knn_graph,
+        "pii_signals": _q_pii_signals,
+        "pii_redacted": _q_pii_redacted,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
@@ -1415,10 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
-        "radius_diameter": _q_radius_diameter,
         "bfs_parents": _q_bfs_parents,
         "multi_source_parents": _q_multi_source_parents,
-        "sssp_parents": _q_sssp_parents,
         "shortest_path_0_42": _q_shortest_path,
         "bridges": _q_bridges,
         "eccentricity_harmonic": _q_ecc_harmonic,
@@ -1426,7 +1549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_communities": _q_infomap,
         "walktrap_communities": _q_walktrap,
         "bibcoupling": _q_bibcoupling,
-        "dice_similarity": _q_dice_similarity,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
         "hits_weighted_top20": _q_hits_weighted,
@@ -1437,9 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length_hist": _q_path_length_hist,
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top20": _q_bm25_top20,
-        "reciprocal_edges": _q_reciprocal_edges,
-        "oneway_edges": _q_oneway_edges,
-        "avg_local_clustering": _q_avg_local_clustering,
         "edge_betweenness": _q_edge_betweenness,
         "louvain_weighted_communities": _q_louvain_weighted,
         "infomap_weighted_communities": _q_infomap_weighted,
@@ -1528,6 +1647,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "avg_local_clustering": _q_avg_local_clustering,
+        "radius_diameter": _q_radius_diameter,
+        "reciprocal_edges": _q_reciprocal_edges,
+        "oneway_edges": _q_oneway_edges,
+        "dice_similarity": _q_dice_similarity,
+        "sssp_parents": _q_sssp_parents,
     }
 
 
@@ -1569,7 +1694,23 @@ _LCC_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
+    _TWO_MODE = (
+        "SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst"
+        " FROM lineitem"
+    )
     return {
+        "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
+        "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
+        "part_copurchase_top20": f"""
+            SELECT a, b, weight FROM ({_bipartite.bipartite_projection_sql(
+                "SELECT l_orderkey AS c, l_partkey AS x FROM lineitem",
+                max_left_degree=20,
+            )})
+            ORDER BY weight DESC, a ASC, b ASC LIMIT 20
+        """,
+        "knn_graph_5": _knn.knn_graph_sql(k=5),
+        "pii_signals": _pii.pii_signals_sql(_PII_AUG_SQL),
+        "pii_redacted": _pii.redact_pii_sql(_PII_AUG_SQL),
         "edges_from_docs": _EDGES,
         "edges_clean": _CLEAN,
         "out_degree": f"SELECT src, count(*) AS out_deg FROM ({_CLEAN}) GROUP BY src",

@@ -24,8 +24,14 @@ algorithms and validated against numpy/networkx oracles).
 
 from graftlink.adjacency import pack_adjacency
 from graftlink.components import connected_components
+from graftlink.bipartite import (
+    bipartite_check,
+    bipartite_projection,
+    bipartite_sides,
+)
 from graftlink.dag import is_dag, topo_levels
 from graftlink.kcore import core_numbers, k_core
+from graftlink.knn import knn_graph
 from graftlink.linkpred import (
     avg_neighbor_degree,
     bibcoupling,
@@ -80,6 +86,10 @@ from graftlink.vertices import degrees, encode_vertices
 
 __all__ = [
     "pack_adjacency",
+    "bipartite_check",
+    "bipartite_projection",
+    "bipartite_sides",
+    "knn_graph",
     "connected_components",
     "strongly_connected_components",
     "label_propagation",

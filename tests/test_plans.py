@@ -522,3 +522,33 @@ def test_edge_betweenness_backward_sort_free(spark):
     for plan in captured:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_bipartite_projection_no_window_partial_agg(spark):
+    """The two-mode projection is the cocitation wedge plan: one
+    incidence self-join keyed on the left vertex + a partial-agg
+    count — no Window, no cartesian, map-side combine present."""
+    from graftlink.bipartite import bipartite_projection
+
+    df = spark.createDataFrame(
+        [(i % 7, i % 5) for i in range(30)], "l long, r long"
+    )
+    plan = plan_of(bipartite_projection(df, "l", "r", max_left_degree=10))
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_knn_final_slice_no_window(spark):
+    """knn_graph's global per-src merge is the bounded
+    collect+sort_array slice — no Window over the corpus, and the
+    only quadratic work lives inside the bounded applyInPandas tiles
+    (FlatMapGroupsInPandas), never as a row-level crossJoin."""
+    from graftlink.knn import knn_graph
+
+    rows = [(int(i), [float(i % 3), float(i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = plan_of(knn_graph(df, k=3, block_rows=8))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
