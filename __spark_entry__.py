@@ -35,6 +35,7 @@ from graftlink import bipartite as _bipartite
 from graftlink import bowtie as _bowtie
 from graftlink import knn as _knn
 from graftlink import pii as _pii
+from graftlink import sessions as _sessions
 from graftlink import rewire as _rewire
 from graftlink import cycles as _cycles
 from graftlink import mis as _mis
@@ -1491,6 +1492,27 @@ def _q_knn_graph(spark, sf_dir):
     return knn_graph(emb, k=5, block_rows=128)
 
 
+def _q_unigram_quality(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean token log-prob
+    under the corpus's own add-one-smoothed unigram model (ordered
+    per-term fold — the BM25 cross-engine fp discipline)."""
+    from graftlink.relevance import unigram_logprob
+
+    return unigram_logprob(read_documents(spark, sf_dir))
+
+
+def _q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization stats (8-hour gap; the synthetic
+    per-user inter-arrival is ~6h, so sessions genuinely merge) over
+    the events
+    stream table — one per-user window exchange, stats groupBy arrives
+    pre-partitioned."""
+    from graftlink.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_seconds=28800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1522,13 +1544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_5": _q_knn_graph,
         "pii_signals": _q_pii_signals,
         "pii_redacted": _q_pii_redacted,
+        "unigram_quality": _q_unigram_quality,
+        "user_sessions": _q_user_sessions,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
         "rewire_null_model": _q_rewire,
         "harmonic_all": _q_harmonic_all,
         "closeness_all": _q_closeness_all,
-        "center_periphery": _q_center_periphery,
         "pack_chunks": _q_pack_chunks,
         "articulation_points": _q_articulation_points,
         "vertex_block_counts": _q_vertex_block_counts,
@@ -1556,7 +1579,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_predicates": _q_graph_predicates,
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
-        "path_length_hist": _q_path_length_hist,
         "tfidf_top3": _q_tfidf_top3,
         "bm25_top20": _q_bm25_top20,
         "edge_betweenness": _q_edge_betweenness,
@@ -1647,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "center_periphery": _q_center_periphery,
+        "path_length_hist": _q_path_length_hist,
         "avg_local_clustering": _q_avg_local_clustering,
         "radius_diameter": _q_radius_diameter,
         "reciprocal_edges": _q_reciprocal_edges,
@@ -1711,6 +1735,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_5": _knn.knn_graph_sql(k=5),
         "pii_signals": _pii.pii_signals_sql(_PII_AUG_SQL),
         "pii_redacted": _pii.redact_pii_sql(_PII_AUG_SQL),
+        "unigram_quality": _relevance.unigram_logprob_sql("SELECT doc_id, text FROM documents"),
+        "user_sessions": _sessions.session_stats_sql("SELECT * FROM events", gap_seconds=28800),
         "edges_from_docs": _EDGES,
         "edges_clean": _CLEAN,
         "out_degree": f"SELECT src, count(*) AS out_deg FROM ({_CLEAN}) GROUP BY src",

@@ -32,6 +32,9 @@ from graftlink.bipartite import (
 from graftlink.dag import is_dag, topo_levels
 from graftlink.kcore import core_numbers, k_core
 from graftlink.knn import knn_graph
+from graftlink.relevance import unigram_logprob
+from graftlink.pii import pii_signals, redact_pii
+from graftlink.sessions import session_stats, sessionize
 from graftlink.linkpred import (
     avg_neighbor_degree,
     bibcoupling,
@@ -90,6 +93,11 @@ __all__ = [
     "bipartite_projection",
     "bipartite_sides",
     "knn_graph",
+    "pii_signals",
+    "redact_pii",
+    "session_stats",
+    "sessionize",
+    "unigram_logprob",
     "connected_components",
     "strongly_connected_components",
     "label_propagation",

@@ -254,3 +254,85 @@ def bm25_rank_sql(
         FROM contrib GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT {top}
     """
+
+
+def unigram_logprob(
+    docs: DataFrame, doc_id: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """DF[id, n_tokens, logprob_per_token] — per-doc mean token
+    log-likelihood under the corpus's OWN add-one-smoothed unigram
+    model: p(t) = (c_t + 1) / (T + V) with c_t the corpus occurrence
+    count, T total occurrences, V vocabulary size. The standard
+    self-contained perplexity-proxy quality filter (the CCNet recipe
+    with the external KenLM swapped for the corpus self-model —
+    gibberish and boilerplate both sit in the tails of the score).
+
+    Scale shape: the model is two partial-agg groupBys (term counts,
+    then two scalars); per-token log-probs live in a broadcast-sized
+    vocabulary table; the per-doc sum folds tf * ln p(t) ORDERED by
+    term (BM25's cross-engine fp discipline). Tokenless docs surface
+    with n_tokens=0 and score 0.0 via the final left join."""
+    tf = term_frequencies(docs, doc_id, text)
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("double").alias("t"), F.count("*").cast("double").alias("v")
+    ).collect()[0]
+    t_plus_v = float(tot["t"]) + float(tot["v"])
+    lp = cnt.select(
+        "term", F.log((F.col("c") + 1.0) / F.lit(t_plus_v)).alias("lp")
+    )
+    contrib = tf.join(F.broadcast(lp), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("lp")).alias("c"), "tf"
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("_s"),
+    )
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("_s") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("logprob_per_token"),
+        )
+    )
+
+
+def unigram_logprob_sql(source_sql: str) -> str:
+    tok = _TOK.format(src=f"({source_sql})")
+    return f"""
+        WITH
+        {tok},
+        cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+        tot AS (
+            SELECT CAST(sum(c) AS DOUBLE) AS t,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM cnt
+        ),
+        lp AS (
+            SELECT term,
+                   ln((c + 1.0) / ((SELECT t FROM tot) + (SELECT v FROM tot)))
+                       AS lp
+            FROM cnt
+        ),
+        contrib AS (
+            SELECT tf.doc_id, tf.term, tf.tf * lp.lp AS c, tf.tf
+            FROM tf JOIN lp USING (term)
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   sum(c ORDER BY term) AS s
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               round(coalesce(p.s / p.n_tokens, 0.0), 6) AS logprob_per_token
+        FROM ({source_sql}) d LEFT JOIN per_doc p USING (doc_id)
+    """

@@ -552,3 +552,34 @@ def test_knn_final_slice_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_session_stats_single_exchange(spark):
+    """sessionize + session_stats share ONE hash exchange: the window
+    partitions by user_id, and the stats groupBy(user_id, session_idx)
+    arrives pre-partitioned (user_id is a prefix of the grouping key),
+    so Catalyst plans exactly one Exchange end to end."""
+    from graftlink.sessions import session_stats
+
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i % 5)
+            for i in range(50)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    plan = plan_of(session_stats(ev, gap_seconds=600))
+    # "(n) Exchange" detail headers = one per physical Exchange node
+    # (the tree section spells nodes as "+- Exchange (n)")
+    assert plan.count(") Exchange") == 1, plan
+
+
+def test_unigram_vocab_join_is_broadcast(spark):
+    """unigram_logprob joins the per-token log-prob table broadcast
+    (vocabulary << corpus) and every groupBy has a partial phase."""
+    from graftlink.relevance import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 3 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(unigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
