@@ -1513,6 +1513,21 @@ def _q_user_sessions(spark, sf_dir):
     return session_stats(ev, gap_seconds=28800)
 
 
+def _q_weighted_walks(spark, sf_dir):
+    """igraph random_walk(weights=): weight-proportional next hop by
+    exact integer inverse-CDF sampling over the contracted (id%50)
+    quotient graph, whose multiplicity weights are genuinely > 1."""
+    from graftlink.graphops import contract_vertices
+    from graftlink.vertices import vertex_universe
+    from graftlink.walks import weighted_random_walks
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    m = vertex_universe(e).select("id", (F.col("id") % 50).alias("group"))
+    return weighted_random_walks(
+        contract_vertices(e, m), [0, 7, 13, 21, 34, 42], 12
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1546,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redacted": _q_pii_redacted,
         "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
+        "weighted_random_walks": _q_weighted_walks,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
@@ -1559,7 +1575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
         "girth": _q_girth,
-        "strength_weighted": _q_strength,
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
@@ -1669,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "strength_weighted": _q_strength,
         "center_periphery": _q_center_periphery,
         "path_length_hist": _q_path_length_hist,
         "avg_local_clustering": _q_avg_local_clustering,
@@ -1737,6 +1753,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redacted": _pii.redact_pii_sql(_PII_AUG_SQL),
         "unigram_quality": _relevance.unigram_logprob_sql("SELECT doc_id, text FROM documents"),
         "user_sessions": _sessions.session_stats_sql("SELECT * FROM events", gap_seconds=28800),
+        "weighted_random_walks": _walks.weighted_random_walks_sql(
+            _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
+            [0, 7, 13, 21, 34, 42], 12),
         "edges_from_docs": _EDGES,
         "edges_clean": _CLEAN,
         "out_degree": f"SELECT src, count(*) AS out_deg FROM ({_CLEAN}) GROUP BY src",

@@ -34,6 +34,7 @@ from graftlink.kcore import core_numbers, k_core
 from graftlink.knn import knn_graph
 from graftlink.relevance import unigram_logprob
 from graftlink.pii import pii_signals, redact_pii
+from graftlink.walks import weighted_random_walks
 from graftlink.sessions import session_stats, sessionize
 from graftlink.linkpred import (
     avg_neighbor_degree,
@@ -98,6 +99,7 @@ __all__ = [
     "session_stats",
     "sessionize",
     "unigram_logprob",
+    "weighted_random_walks",
     "connected_components",
     "strongly_connected_components",
     "label_propagation",

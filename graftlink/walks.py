@@ -163,3 +163,181 @@ def random_walks_sql(clean: str, start_list: list[int], steps: int) -> str:
             UNION ALL {sels}
         )
     """
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    starts: DataFrame | list[int],
+    steps: int,
+    weight_col: str = "weight",
+    buckets: int | None = None,
+    broadcast_frontier: bool | None = None,
+) -> DataFrame:
+    """DF[walk, step, vertex] — seeded walks with weight-proportional
+    next-hop choice (igraph `random_walk(weights=)`): at vertex v the
+    probability of out-edge (v, d) is w(v,d) / W(v) EXACTLY, realized
+    by integer inverse-CDF sampling —
+
+        r = H(walk, t, v) mod W(v)
+        next = the dst with the smallest dst-ascending cumulative
+               weight strictly greater than r
+
+    with H the engine's portable (A1..A3, C) poly-hash (no dst term —
+    selection is positional). Weights must be POSITIVE INTEGERS
+    (scale rationals upstream); parallel edges merge by weight sum.
+
+    The prefix sums are built ONCE, window-free, as a JVM array fold
+    over the per-src sorted adjacency (collect_list + sort_array +
+    F.aggregate) and exploded back to edge rows; each step is then the
+    unweighted path's exact shape — one frontier join + one
+    min(struct) partial agg keyed by walk — so the hub-skew story is
+    unchanged (map-side fan-out, map-side combine). The DuckDB twin
+    replays the identical arithmetic with window prefix sums."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = F.col(weight_col).cast("long")
+    e = (
+        edges.select("src", "dst", w.alias("_w"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("run"),
+        F.array().cast("array<struct<dst:bigint,cum:bigint>>").alias("out"),
+    )
+    cum = (
+        e.groupBy("src")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dst", "_w"))).alias("_a"),
+            F.sum("_w").alias("tot"),
+        )
+        .select(
+            "src",
+            "tot",
+            F.explode(
+                F.aggregate(
+                    "_a",
+                    acc0,
+                    lambda acc, x: F.struct(
+                        (acc["run"] + x["_w"]).alias("run"),
+                        F.concat(
+                            acc["out"],
+                            F.array(
+                                F.struct(
+                                    x["dst"].alias("dst"),
+                                    (acc["run"] + x["_w"]).alias("cum"),
+                                )
+                            ),
+                        ).alias("out"),
+                    ),
+                    lambda acc: acc["out"],
+                )
+            ).alias("_x"),
+        )
+        .select("src", F.col("_x.dst").alias("dst"), F.col("_x.cum").alias("cum"), "tot")
+        .repartition(b, "src")
+        .localCheckpoint(eager=True)
+    )
+    if isinstance(starts, list):
+        if broadcast_frontier is None:
+            broadcast_frontier = len(starts) <= 1_000_000
+        starts = spark.createDataFrame(
+            [(int(v), int(v)) for v in starts], "walk long, vertex long"
+        )
+    elif broadcast_frontier is None:
+        broadcast_frontier = starts.count() <= 1_000_000
+    cur = starts.select("walk", F.col("vertex").alias("cur"))
+    out: list[DataFrame] = [
+        cur.select("walk", F.lit(0).alias("step"), F.col("cur").alias("vertex"))
+    ]
+    for t in range(1, steps + 1):
+        h = (
+            (F.col("walk") % P) * A1
+            + (F.lit(t) % P) * A2
+            + (F.col("cur") % P) * A3
+            + C
+        ) % P
+        if broadcast_frontier:
+            scattered = cum.join(F.broadcast(cur), cur["cur"] == cum["src"], "inner")
+        else:
+            scattered = cur.join(
+                cum.hint("shuffle_hash"), cur["cur"] == cum["src"], "inner"
+            )
+        nxt = (
+            scattered.select(
+                "walk", "dst", "cum", (h % F.col("tot")).alias("_r")
+            )
+            .where(F.col("cum") > F.col("_r"))
+            .groupBy("walk")
+            .agg(F.min(F.struct("cum", "dst")).alias("_m"))
+            .select("walk", F.col("_m.dst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            nxt.select(
+                "walk", F.lit(t).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+        cur = nxt
+        if nxt.isEmpty():
+            break
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res.select("walk", F.col("step").cast("int").alias("step"), "vertex")
+
+
+def weighted_random_walks_sql(
+    weighted_sql: str, start_list: list[int], steps: int
+) -> str:
+    """DuckDB twin of weighted_random_walks: `weighted_sql` must yield
+    (src, dst, weight); identical hash + inverse-CDF arithmetic with
+    window prefix sums."""
+    starts = ", ".join(f"({v}, {v})" for v in start_list)
+    layers = []
+    for t in range(1, steps + 1):
+        h = (
+            f"((p.walk % {P}) * {A1} + ({t} % {P}) * {A2}"
+            f" + (p.cur % {P}) * {A3} + {C}) % {P}"
+        )
+        layers.append(
+            f"""
+        w{t} AS MATERIALIZED (
+            SELECT walk, cur FROM (
+                SELECT p.walk, c.dst AS cur,
+                       row_number() OVER (
+                           PARTITION BY p.walk ORDER BY c.cum
+                       ) AS rn
+                FROM w{t - 1} p
+                JOIN cum c ON c.src = p.cur AND c.cum > ({h}) % c.tot
+            ) WHERE rn = 1
+        )"""
+        )
+    chain = ",".join(layers)
+    sels = "\n            UNION ALL ".join(
+        f"SELECT walk, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(1, steps + 1)
+    )
+    return f"""
+        WITH
+        we AS MATERIALIZED (
+            SELECT src, dst, sum(CAST(weight AS BIGINT)) AS w
+            FROM ({weighted_sql}) WHERE src <> dst GROUP BY src, dst
+        ),
+        cum AS MATERIALIZED (
+            SELECT src, dst,
+                   sum(w) OVER (PARTITION BY src ORDER BY dst) AS cum,
+                   sum(w) OVER (PARTITION BY src) AS tot
+            FROM we
+        ),
+        w0 AS (
+            SELECT CAST(col0 AS BIGINT) AS walk,
+                   CAST(col1 AS BIGINT) AS cur
+            FROM (VALUES {starts})
+        ),{chain}
+        SELECT walk, CAST(step AS INT) AS step, vertex FROM (
+            SELECT walk, 0 AS step, cur AS vertex FROM w0
+            UNION ALL {sels}
+        )
+    """

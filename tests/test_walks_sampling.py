@@ -275,3 +275,88 @@ def test_stratified_sample_matches_duckdb_twin(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# weighted walks (igraph random_walk(weights=))
+# ---------------------------------------------------------------------------
+
+
+def _replay_weighted(wedges, starts, steps):
+    """Pure-Python replay of the inverse-CDF rule."""
+    from collections import defaultdict
+
+    adj = defaultdict(dict)
+    for s, d, w in wedges:
+        if s != d:
+            adj[s][d] = adj[s].get(d, 0) + int(w)
+    want = set()
+    for w0 in starts:
+        cur = w0
+        want.add((w0, 0, cur))
+        for t in range(1, steps + 1):
+            nbrs = sorted(adj.get(cur, {}).items())
+            if not nbrs:
+                break
+            tot = sum(x for _, x in nbrs)
+            h = ((w0 % P) * A1 + (t % P) * A2 + (cur % P) * A3 + C) % P
+            r = h % tot
+            run = 0
+            for d, ww in nbrs:
+                run += ww
+                if run > r:
+                    cur = d
+                    break
+            want.add((w0, t, cur))
+    return want
+
+
+def _wdf(spark, wedges):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in wedges],
+        "src long, dst long, weight long",
+    )
+
+
+def test_weighted_walks_match_python_replay(spark):
+    from graftlink.walks import weighted_random_walks
+
+    rnd = random.Random(4)
+    wedges = [(a, b, rnd.randrange(1, 6)) for a, b in _er_pairs(30, 120, seed=4)]
+    starts = [0, 3, 11, 19]
+    got = {
+        (r.walk, r.step, r.vertex)
+        for r in weighted_random_walks(_wdf(spark, wedges), starts, 8).collect()
+    }
+    assert got == _replay_weighted(wedges, starts, 8)
+
+
+def test_weighted_walks_proportional_choice(spark):
+    """Empirical next-hop frequency tracks w/W: from vertex 0 with
+    out-weights {1: 1, 2: 3}, ~3/4 of many independent walkers step
+    to 2 (hash-uniformity over walk ids)."""
+    from graftlink.walks import weighted_random_walks
+
+    e = _wdf(spark, [(0, 1, 1), (0, 2, 3), (1, 0, 1), (2, 0, 1)])
+    starts = spark.createDataFrame(
+        [(i, 0) for i in range(400)], "walk long, vertex long"
+    )
+    first = {
+        r.walk: r.vertex
+        for r in weighted_random_walks(e, starts, 1).collect()
+        if r.step == 1
+    }
+    share2 = sum(1 for v in first.values() if v == 2) / len(first)
+    assert 0.68 <= share2 <= 0.82, share2
+
+
+def test_weighted_walks_parallel_edges_merge_and_sink(spark):
+    from graftlink.walks import weighted_random_walks
+
+    # 0's only neighbor is 1 (two parallel edges), 1 is a sink
+    e = _wdf(spark, [(0, 1, 1), (0, 1, 2)])
+    got = sorted(
+        (r.walk, r.step, r.vertex)
+        for r in weighted_random_walks(e, [0], 5).collect()
+    )
+    assert got == [(0, 0, 0), (0, 1, 1)]
