@@ -1528,6 +1528,23 @@ def _q_weighted_walks(spark, sf_dir):
     )
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """The streaming layer's windowed_event_counts run in BATCH mode
+    over the same events table (withWatermark is a no-op on batch) —
+    the stream-batch equivalence contract makes this row the oracle
+    for the streaming form; window bounds emitted as epoch micros."""
+    from graftlink.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.unix_micros("w_start").alias("w_start_us"),
+        F.unix_micros("w_end").alias("w_end_us"),
+        "event_type",
+        "n",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1562,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
         "weighted_random_walks": _q_weighted_walks,
+        "windowed_event_counts": _q_windowed_event_counts,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
@@ -1570,7 +1588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_all": _q_closeness_all,
         "pack_chunks": _q_pack_chunks,
         "articulation_points": _q_articulation_points,
-        "vertex_block_counts": _q_vertex_block_counts,
         "core_numbers_in": _q_core_numbers_in,
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
@@ -1684,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
         "greedy_coloring": _q_coloring,
+        "vertex_block_counts": _q_vertex_block_counts,
         "strength_weighted": _q_strength,
         "center_periphery": _q_center_periphery,
         "path_length_hist": _q_path_length_hist,
@@ -1756,6 +1774,13 @@ def oracle_sql() -> dict[str, str]:
         "weighted_random_walks": _walks.weighted_random_walks_sql(
             _graphops.contract_vertices_sql(_CLEAN, "? % 50"),
             [0, 7, 13, 21, 34, 42], 12),
+        "windowed_event_counts": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
+                   epoch_us(time_bucket(INTERVAL '1 hour', ts)
+                            + INTERVAL '1 hour') AS w_end_us,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
         "edges_from_docs": _EDGES,
         "edges_clean": _CLEAN,
         "out_degree": f"SELECT src, count(*) AS out_deg FROM ({_CLEAN}) GROUP BY src",

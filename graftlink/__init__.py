@@ -36,6 +36,7 @@ from graftlink.relevance import unigram_logprob
 from graftlink.pii import pii_signals, redact_pii
 from graftlink.walks import weighted_random_walks
 from graftlink.sessions import session_stats, sessionize
+from graftlink.streaming import streaming_sessionize, windowed_event_counts
 from graftlink.linkpred import (
     avg_neighbor_degree,
     bibcoupling,
@@ -100,6 +101,8 @@ __all__ = [
     "sessionize",
     "unigram_logprob",
     "weighted_random_walks",
+    "streaming_sessionize",
+    "windowed_event_counts",
     "connected_components",
     "strongly_connected_components",
     "label_propagation",
