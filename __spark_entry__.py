@@ -725,6 +725,18 @@ def _q_louvain(spark, sf_dir):
     return louvain_communities(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_fastgreedy(spark, sf_dir):
+    """Deterministic distributed CNM fastgreedy (igraph
+    community_fastgreedy; rows-only like Louvain: the argmax-matching
+    + merge recursion is not SQL-expressible; value gates =
+    tests/test_fastgreedy.py: partition parity vs a python twin of the
+    same spec, planted recovery, karate modularity floor vs the
+    published CNM value, weighted flip, determinism)."""
+    from graftlink.fastgreedy import fastgreedy_communities
+
+    return fastgreedy_communities(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _weighted_doc_edges(spark, sf_dir):
     """Doc-link edges with a deterministic synthetic weight column —
     the same recipe as lpa_weighted_communities, so every weighted
@@ -1599,10 +1611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_source_parents": _q_multi_source_parents,
         "shortest_path_0_42": _q_shortest_path,
         "bridges": _q_bridges,
-        "eccentricity_harmonic": _q_ecc_harmonic,
         "leiden_communities": _q_leiden,
         "infomap_communities": _q_infomap,
         "walktrap_communities": _q_walktrap,
+        "fastgreedy_communities": _q_fastgreedy,
         "bibcoupling": _q_bibcoupling,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
@@ -1622,7 +1634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         # ---- tail: driver-recorded in r01/r02/r03 OR derivable from a
         # front row (bowtie_census = groupBy of bowtie_regions, which
-        # st_mincut_0_42 displaced); FULL-sweep + pytest covered ----
+        # st_mincut_0_42 displaced); FULL-sweep + pytest covered.
+        # Session-5 rotation: eccentricity_harmonic demoted here to
+        # make room for fastgreedy_communities — its exact siblings
+        # eccentricity_all + harmonic_all stay in the front and it
+        # remains FULL-sweep + pytest covered ----
+        "eccentricity_harmonic": _q_ecc_harmonic,
         "bowtie_census": _q_bowtie_census,
         "weighted_diversity": _q_diversity,
         "doc_hash_sample": _q_doc_hash_sample,
