@@ -736,6 +736,21 @@ def _q_fastgreedy(spark, sf_dir):
 
     return fastgreedy_communities(clean_edges(doc_edges(spark, sf_dir)))
 
+def _q_leading_eigenvector(spark, sf_dir):
+    """Newman leading-eigenvector spectral bisection (igraph
+    community_leading_eigenvector; rows-only like Louvain: the
+    recursive eigensolver is not SQL-expressible; value gates =
+    tests/test_leading_eigenvector.py: partition parity vs a
+    pure-python twin of the same round-12 trajectory, Newman's
+    published karate result Q=0.3934 with 4 communities, hybrid ==
+    pure-distributed path equality, weighted flip, determinism)."""
+    from graftlink.leading_eigenvector import leading_eigenvector_communities
+
+    return leading_eigenvector_communities(
+        clean_edges(doc_edges(spark, sf_dir)), iters=60
+    )
+
+
 
 def _weighted_doc_edges(spark, sf_dir):
     """Doc-link edges with a deterministic synthetic weight column —
@@ -1583,7 +1598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # induced/contracted set algebra) and stays verified by the
         # FULL sweep (tools/driver_check.py) + pytest.
         "bipartite_sides": _q_bipartite_sides,
-        "bipartite_check": _q_bipartite_check,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
         "pii_signals": _q_pii_signals,
@@ -1615,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap_communities": _q_infomap,
         "walktrap_communities": _q_walktrap,
         "fastgreedy_communities": _q_fastgreedy,
+        "leading_eigenvector_communities": _q_leading_eigenvector,
         "bibcoupling": _q_bibcoupling,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
@@ -1639,6 +1654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # make room for fastgreedy_communities — its exact siblings
         # eccentricity_all + harmonic_all stay in the front and it
         # remains FULL-sweep + pytest covered ----
+        # Session-6 rotation: bipartite_check demoted for
+        # leading_eigenvector_communities — its sibling bipartite_sides
+        # stays in the front; FULL-sweep + pytest cover it ----
+        "bipartite_check": _q_bipartite_check,
         "eccentricity_harmonic": _q_ecc_harmonic,
         "bowtie_census": _q_bowtie_census,
         "weighted_diversity": _q_diversity,
