@@ -565,6 +565,36 @@ def _q_sssp_weighted(spark, sf_dir):
     return sssp_weighted(e, source=0)
 
 
+def _q_sssp_negative(spark, sf_dir):
+    """Bellman-Ford with genuinely negative edge weights built from a
+    potential function (w = base + phi(src) - phi(dst), so no negative
+    cycle exists by telescoping; igraph distances(weights=) negative
+    surface). allow_negative=True switches the round bound to |V| and
+    arms negative-cycle detection."""
+    from graftlink.paths import sssp_weighted
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight",
+        (
+            F.col("src") % 7 + F.col("dst") % 3
+            + (F.col("src") % 11) * 2 - (F.col("dst") % 11) * 2
+        ).cast("double"),
+    )
+    return sssp_weighted(e, source=0, allow_negative=True)
+
+
+def _q_widest_paths(spark, sf_dir):
+    """Maximin bottleneck widths from source 0 (igraph
+    get_widest_paths / widest_path_widths): the SSSP superstep with
+    (min,+) swapped for (max,min)."""
+    from graftlink.paths import widest_path_widths
+
+    e = clean_edges(doc_edges(spark, sf_dir)).withColumn(
+        "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
+    )
+    return widest_path_widths(e, source=0)
+
+
 def _q_bfs_parents(spark, sf_dir):
     """BFS distances + min-predecessor shortest-path-tree parent
     (round-4 verdict Missing #1: igraph get_shortest_paths surface)."""
@@ -1622,7 +1652,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
         "bfs_parents": _q_bfs_parents,
-        "multi_source_parents": _q_multi_source_parents,
         "shortest_path_0_42": _q_shortest_path,
         "bridges": _q_bridges,
         "leiden_communities": _q_leiden,
@@ -1633,8 +1662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibcoupling": _q_bibcoupling,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "eigenvector_weighted_top20": _q_eigenvector_weighted,
-        "hits_weighted_top20": _q_hits_weighted,
         "shortest_paths_multi": _q_shortest_paths_multi,
+        "sssp_negative": _q_sssp_negative,
+        "widest_paths": _q_widest_paths,
         "graph_predicates": _q_graph_predicates,
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
@@ -1655,8 +1685,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eccentricity_all + harmonic_all stay in the front and it
         # remains FULL-sweep + pytest covered ----
         # Session-6 rotation: bipartite_check demoted for
-        # leading_eigenvector_communities — its sibling bipartite_sides
-        # stays in the front; FULL-sweep + pytest cover it ----
+        # leading_eigenvector_communities, multi_source_parents and
+        # hits_weighted_top20 for sssp_negative + widest_paths — each
+        # keeps an exact family sibling in the front (bipartite_sides,
+        # bfs_parents, eigenvector_weighted_top20); FULL-sweep +
+        # pytest cover them ----
+        "multi_source_parents": _q_multi_source_parents,
+        "hits_weighted_top20": _q_hits_weighted,
         "bipartite_check": _q_bipartite_check,
         "eccentricity_harmonic": _q_ecc_harmonic,
         "bowtie_census": _q_bowtie_census,
@@ -1948,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "scc_components": _isql.scc_sql(_CLEAN),
         "multi_source_bfs": _isql.multi_source_bfs_sql(_CLEAN, _PATH_SOURCES),
         "sssp_weighted": _isql.sssp_sql(_CLEAN, 0),
+        "sssp_negative": _isql.sssp_negative_sql(_CLEAN, 0),
+        "widest_paths": _isql.widest_sql(_CLEAN, 0),
         # round-4 path reconstruction (verdict Missing #1)
         "bfs_parents": _isql.bfs_parents_sql(_CLEAN, source=0),
         "multi_source_parents": _isql.multi_source_parents_sql(

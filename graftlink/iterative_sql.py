@@ -475,6 +475,53 @@ def bfs_parents_sql(
     """
 
 
+def sssp_negative_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
+    """Bellman-Ford SSSP with the driver's deterministic NEGATIVE-edge
+    weights w(u,v) = (u%7 + v%3) + phi(u) - phi(v), phi(x) = (x%11)*2:
+    a potential-function construction, so every cycle's weight
+    telescopes to its non-negative base sum — genuinely negative edges
+    (phi drops of up to 20 vs base <= 9) with provably no negative
+    cycle. Integer-valued doubles dedup exactly in the UNION; walks
+    are bounded below by -max(phi) and above by max_cost, so the
+    (id, dist) state space is finite and the recursion terminates."""
+    w = (
+        "CAST(e.src % 7 + e.dst % 3 "
+        "+ (e.src % 11) * 2 - (e.dst % 11) * 2 AS DOUBLE)"
+    )
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        d(id, dist) AS (
+            SELECT CAST({source} AS BIGINT), CAST(0.0 AS DOUBLE)
+            UNION
+            SELECT e.dst, dd.dist + {w}
+            FROM d dd JOIN clean e ON e.src = dd.id
+            WHERE dd.dist < {max_cost}
+        )
+        SELECT id, min(dist) AS dist FROM d GROUP BY id
+    """
+
+
+def widest_sql(clean: str, source: int = 0) -> str:
+    """Maximin bottleneck widths with the driver's deterministic
+    arithmetic weights (src%7 + dst%3 + 1). The (id, width) state
+    space is |V| x 10 values (widths come from the finite weight set
+    plus Infinity) and widths only shrink along a walk, so the UNION
+    dedup terminates the recursion without a depth guard."""
+    return f"""
+        WITH RECURSIVE
+        clean AS ({clean}),
+        d(id, width) AS (
+            SELECT CAST({source} AS BIGINT), CAST('infinity' AS DOUBLE)
+            UNION
+            SELECT e.dst,
+                   least(dd.width, CAST(e.src % 7 + e.dst % 3 + 1 AS DOUBLE))
+            FROM d dd JOIN clean e ON e.src = dd.id
+        )
+        SELECT id, max(width) AS width FROM d GROUP BY id
+    """
+
+
 def sssp_parents_sql(clean: str, source: int = 0, max_cost: int = 300) -> str:
     """Weighted SSSP distances + min-predecessor parent; the equality
     dist(u) + w == dist(v) is exact (dist(v) is a min over exactly

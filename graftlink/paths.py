@@ -189,13 +189,26 @@ def sssp_weighted(
     checkpoint_mode: str = "durable",
     resume: bool = False,
     fingerprint: str = "",
+    allow_negative: bool = False,
 ) -> DataFrame:
     """DF[id, dist double] — single-source shortest paths with
     non-negative edge weights (Bellman-Ford supersteps, delta
     frontier). Unreachable vertices are absent. With
     `checkpoint_dir`, per-iteration durable state (the saved frame
     carries `_old`, so the delta frontier is reconstructible);
-    resume=True continues a killed run."""
+    resume=True continues a killed run.
+
+    allow_negative=True accepts negative edge weights (igraph
+    `distances(weights=)` runs Bellman-Ford for these): the delta
+    frontier relaxation is already Bellman-Ford-correct for negatives
+    (dist only decreases; an improved vertex re-enters the frontier),
+    so the only changes are the round bound — |V| supersteps replaces
+    max_iter, since round r has settled every shortest path of <= r
+    hops and a simple path has at most |V|-1 — and negative-cycle
+    detection: improvements still occurring at round |V| are only
+    possible on a negative cycle reachable from the source, which
+    raises ValueError (igraph errors on negative loops the same
+    way)."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # persist WITH hash(src, B) partitioning metadata (localCheckpoint
@@ -225,6 +238,14 @@ def sssp_weighted(
             [(source, 0.0)], "id long, dist double"
         ).repartition(b, "id")
         frontier = state
+    if allow_negative:
+        # Bellman-Ford round bound: any negative-cycle-free shortest
+        # path has <= |V|-1 hops; a round-|V| improvement proves a
+        # reachable negative cycle. Replaces max_iter (documented).
+        from graftlink.vertices import vertex_universe
+
+        max_iter = vertex_universe(edges).count() + 1
+    improved = 0
     for it in range(start_it, max_iter):
         relax = (
             e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
@@ -258,6 +279,92 @@ def sssp_weighted(
             F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
         ).select("id", "dist")
         state = merged.select("id", "dist")
+        improved = row["improved"]
+        if not improved:
+            break
+    if allow_negative and improved:
+        e.unpersist()
+        mgr.release()
+        raise ValueError(
+            "sssp_weighted(allow_negative=True): negative cycle "
+            "reachable from the source (distances still improving "
+            "after |V| Bellman-Ford rounds)"
+        )
+    result = mgr.finalize(state)
+    e.unpersist()
+    return result
+
+
+def widest_path_widths(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_iter: int = 200,
+    buckets: int | None = None,
+) -> DataFrame:
+    """DF[id, width double] — maximin bottleneck capacity from
+    `source`: width(v) = max over source->v paths of the minimum edge
+    weight along the path, width(source) = +Infinity (igraph
+    get_widest_paths / widest_path_widths convention,
+    igraph@0.10.x src/paths/widest.c [public anchor]). Unreachable
+    vertices are absent.
+
+    The exact sssp_weighted superstep with (min, +) swapped for
+    (max, min): relax = max over incoming frontier edges of
+    least(width(u), w(u, v)); a vertex re-enters the delta frontier
+    only when its width strictly increases. Monotone non-decreasing
+    widths drawn from the finite edge-weight set converge in at most
+    |V|-1 rounds (no cycle can raise a width), so the delta frontier
+    empties without a special bound. Same physical shape: edge table
+    persisted hash(src, B), only the frontier moves, one
+    materialization job per round via CheckpointManager stats."""
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("_w")
+    ).repartition(b, "src").persist()
+    mgr = CheckpointManager(None, "widest", spark, mode="local", buckets=b)
+
+    state = spark.createDataFrame(
+        [(source, float("inf"))], "id long, width double"
+    ).repartition(b, "id")
+    frontier = state
+    for it in range(max_iter):
+        relax = (
+            e.join(frontier.hint("shuffle_hash"), e["src"] == frontier["id"], "inner")
+            .select(
+                F.col("dst").alias("id"),
+                F.least(F.col("width"), F.col("_w")).alias("nw"),
+            )
+            .groupBy("id")
+            .agg(F.max("nw").alias("nw"))
+        )
+        merged = (
+            state.withColumnRenamed("width", "_old")
+            .join(relax.hint("shuffle_hash"), "id", "full_outer")
+            .select(
+                "id",
+                F.greatest(
+                    F.coalesce("_old", F.lit(float("-inf"))),
+                    F.coalesce("nw", F.lit(float("-inf"))),
+                ).alias("width"),
+                F.col("_old"),
+            )
+        )
+        merged, row = mgr.save(
+            merged, it, "id", counters={"iteration": it},
+            stats_cols=[
+                F.sum(
+                    (F.col("_old").isNull() | (F.col("width") > F.col("_old"))).cast(
+                        "long"
+                    )
+                ).alias("improved")
+            ],
+        )
+        frontier = merged.where(
+            F.col("_old").isNull() | (F.col("width") > F.col("_old"))
+        ).select("id", "width")
+        state = merged.select("id", "width")
         if not row["improved"]:
             break
     result = mgr.finalize(state)
