@@ -1,9 +1,9 @@
 """spark-submit entry point: community detection family.
 
---algo picks louvain | leiden | infomap | walktrap (lpa has its own
-job). Bounded-rounds knobs mirror the library defaults; walktrap is
-Theta(mn) by algorithm (see graftlink/walktrap.py envelope) so size
-inputs accordingly.
+--algo picks louvain | leiden | infomap | walktrap | fastgreedy |
+leading_eigenvector (lpa has its own job). Bounded-rounds knobs
+mirror the library defaults; walktrap is Theta(mn) by algorithm (see
+graftlink/walktrap.py envelope) so size inputs accordingly.
 """
 
 from __future__ import annotations
@@ -20,7 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", default="louvain",
-                    choices=["louvain", "leiden", "infomap", "walktrap"])
+                    choices=["louvain", "leiden", "infomap", "walktrap",
+                             "fastgreedy", "leading_eigenvector"])
     ap.add_argument("--edges")
     ap.add_argument("--synthetic")
     ap.add_argument("--levels", type=int, default=3)
@@ -59,6 +60,16 @@ def main():
         comm = infomap_communities(
             edges, levels=args.levels, max_rounds=args.max_rounds
         )
+    elif args.algo == "fastgreedy":
+        from graftlink.fastgreedy import fastgreedy_communities
+
+        comm = fastgreedy_communities(edges, max_rounds=args.max_rounds)
+    elif args.algo == "leading_eigenvector":
+        from graftlink.leading_eigenvector import (
+            leading_eigenvector_communities,
+        )
+
+        comm = leading_eigenvector_communities(edges)
     else:
         from graftlink.walktrap import walktrap_communities
 
