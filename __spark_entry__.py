@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from graftlink import dag as _topo_sql
+from graftlink import gen as _gen
 from graftlink import dedup as _dedup
 from graftlink import linkpred as _linkpred
 from graftlink import iterative_sql as _isql
@@ -593,6 +594,16 @@ def _q_widest_paths(spark, sf_dir):
         "weight", (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double")
     )
     return widest_path_widths(e, source=0)
+
+
+def _q_ws_smallworld(spark, sf_dir):
+    """Deterministic seeded Watts-Strogatz small-world generator
+    (igraph watts_strogatz_game with the RNG swapped for the portable
+    poly-hash); ignores the sf tables — the oracle is the
+    self-contained DuckDB twin over range()."""
+    from graftlink.gen import watts_strogatz
+
+    return watts_strogatz(spark, 500, 3, 1, 10, seed=42)
 
 
 def _q_bfs_parents(spark, sf_dir):
@@ -1694,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_weighted_top20": _q_hits_weighted,
         "bipartite_check": _q_bipartite_check,
         "eccentricity_harmonic": _q_ecc_harmonic,
+        "ws_smallworld": _q_ws_smallworld,
         "bowtie_census": _q_bowtie_census,
         "weighted_diversity": _q_diversity,
         "doc_hash_sample": _q_doc_hash_sample,
@@ -1984,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_source_bfs": _isql.multi_source_bfs_sql(_CLEAN, _PATH_SOURCES),
         "sssp_weighted": _isql.sssp_sql(_CLEAN, 0),
         "sssp_negative": _isql.sssp_negative_sql(_CLEAN, 0),
+        "ws_smallworld": _gen.watts_strogatz_sql(500, 3, 1, 10, 42),
         "widest_paths": _isql.widest_sql(_CLEAN, 0),
         # round-4 path reconstruction (verdict Missing #1)
         "bfs_parents": _isql.bfs_parents_sql(_CLEAN, source=0),

@@ -255,3 +255,81 @@ def square_lattice(
     if directed:
         return e
     return e.unionAll(e.select(_F.col("dst").alias("src"), _F.col("src").alias("dst")))
+
+
+def watts_strogatz(
+    spark: SparkSession,
+    n: int,
+    k: int = 2,
+    p_num: int = 1,
+    p_den: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic seeded Watts-Strogatz small world (igraph
+    watts_strogatz_game(dim=1, size=n, nei=k) with the RNG swapped for
+    the engine's portable mod-P poly-hash, the rewire_edges
+    convention): ring lattice i -> (i+j) % n for j = 1..k; each
+    lattice edge rewires its FAR endpoint to H2 mod n with probability
+    p = p_num/p_den, decided by the exact integer compare
+    H1 * p_den < p_num * P (no float thresholds, identical arithmetic
+    in the DuckDB twin). Where igraph redraws a colliding target in a
+    loop, the deterministic single-draw keeps the lattice endpoint
+    when the draw lands on the source (self-loop) — documented
+    deviation; parallel edges stay possible exactly as with igraph's
+    multiple=True. Out-degree is k for every vertex by construction.
+    Pure codegen over spark.range — no shuffle, no Python."""
+    from graftlink.rewire import _h
+
+    base = spark.range(n).select(
+        _F.col("id").alias("src"),
+        _F.explode(_F.sequence(_F.lit(1), _F.lit(int(k)))).alias("_j"),
+    )
+    lat = (_F.col("src") + _F.col("_j")) % n
+    h1 = _h(_F.col("src"), lat, 0, seed)
+    h2 = _h(_F.col("src"), lat, 1, seed) % n
+    rewire = (h1 * _F.lit(int(p_den)) < _F.lit(int(p_num) * 1_000_000_007)) & (
+        h2 != _F.col("src")
+    )
+    return base.select(
+        "src", _F.when(rewire, h2).otherwise(lat).cast("long").alias("dst")
+    )
+
+
+def watts_strogatz_sql(
+    n: int, k: int = 2, p_num: int = 1, p_den: int = 10, seed: int = 42
+) -> str:
+    """Self-contained DuckDB twin of watts_strogatz (same poly-hash
+    arithmetic, same integer probability compare, no input tables)."""
+    P, A1, A2, A3, A4, C = (
+        1_000_000_007,
+        2_654_435_761 % 1_000_000_007,
+        40_503,
+        69_069,
+        1_103_515_245,
+        12_345,
+    )
+    # rnd/seed terms pre-folded in Python: DuckDB literals are INT32
+    # and (seed % P) * A1 overflows them; src/j-derived terms ride on
+    # range()'s BIGINT so the remaining arithmetic is 64-bit in both
+    # engines.
+    c0 = (0 % P) * A2 + (seed % P) * A1 + C
+    c1 = (1 % P) * A2 + (seed % P) * A1 + C
+    hh = f"((src % {P}) * {A3} + (((src + j) % {n}) % {P}) * {A4} + CONST) % {P}"
+    return f"""
+        WITH base AS (
+            SELECT t.range AS src, s.range AS j
+            FROM range({n}) t, range(1, {k} + 1) s
+        ),
+        hashed AS (
+            SELECT src, j,
+                   {hh.replace("CONST", str(c0))} AS h1,
+                   ({hh.replace("CONST", str(c1))}) % {n} AS h2
+            FROM base
+        )
+        SELECT CAST(src AS BIGINT) AS src,
+               CAST(
+                   CASE WHEN h1 * {p_den} < {p_num * P} AND h2 <> src
+                        THEN h2 ELSE (src + j) % {n} END
+               AS BIGINT) AS dst
+        FROM hashed
+    """

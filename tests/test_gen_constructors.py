@@ -70,3 +70,45 @@ def test_constructors_feed_engine_ops(spark):
     assert set(colors.values()) <= {0, 1, 2}
     # tree diameter via pseudo_diameter >= depth bound sanity
     assert kary_tree(spark, 15).count() == 14
+
+
+def test_watts_strogatz_structure(spark):
+    from graftlink.gen import watts_strogatz
+
+    rows = {(r.src, r.dst)
+            for r in watts_strogatz(spark, 200, 2, 1, 5, seed=7).collect()}
+    # out-degree k for every vertex, no self-loops, deterministic
+    assert len(rows) <= 400
+    outdeg = {}
+    lattice = 0
+    for s, d in rows:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        assert s != d
+        if d in ((s + 1) % 200, (s + 2) % 200):
+            lattice += 1
+    again = {(r.src, r.dst)
+             for r in watts_strogatz(spark, 200, 2, 1, 5, seed=7).collect()}
+    assert rows == again
+    # p = 0.2: most edges stay lattice, a nontrivial fraction rewires
+    assert 0.6 * 400 < lattice < 0.95 * 400
+
+
+def test_watts_strogatz_p_zero_is_ring_lattice(spark):
+    from graftlink.gen import watts_strogatz
+
+    rows = sorted((r.src, r.dst)
+                  for r in watts_strogatz(spark, 50, 2, 0, 1, seed=3).collect())
+    want = sorted((i, (i + j) % 50) for i in range(50) for j in (1, 2))
+    assert rows == want
+
+
+def test_watts_strogatz_duckdb_twin_exact(spark):
+    import duckdb
+
+    from graftlink.gen import watts_strogatz, watts_strogatz_sql
+
+    got = sorted((r.src, r.dst)
+                 for r in watts_strogatz(spark, 300, 3, 1, 10, seed=42).collect())
+    want = sorted(map(tuple,
+                      duckdb.sql(watts_strogatz_sql(300, 3, 1, 10, 42)).fetchall()))
+    assert got == want
