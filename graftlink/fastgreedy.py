@@ -71,6 +71,9 @@ def fastgreedy_communities(
     max_rounds: int = 200,
     renumber: bool = True,
     weights: str | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community]: deterministic
     distributed CNM greedy modularity agglomeration (batched
@@ -79,20 +82,48 @@ def fastgreedy_communities(
     by default (same contract as louvain_communities). `weights`
     names an explicit edge-weight column (igraph
     ``community_fastgreedy(weights=)``); default is parallel-edge
-    multiplicity."""
+    multiplicity.
+
+    With `checkpoint_dir`, the (contracted graph, id->community
+    mapping) pair lands durably after every completed merge ROUND —
+    the contracted graph shrinks monotonically, so round granularity
+    writes O(current graph) state; m2 is invariant under contraction
+    and is recomputed from the input. resume=True restarts from the
+    last completed round (the greedy trajectory is deterministic, so
+    resumed == uninterrupted exactly)."""
+    spark = edges.sparkSession
+    durable = checkpoint_dir is not None
+    from graftlink.checkpoint import CheckpointManager
+
+    mgr_g = CheckpointManager(
+        checkpoint_dir, "fastgreedy-cg", spark, input_fingerprint=fingerprint
+    )
+    mgr_c = CheckpointManager(
+        checkpoint_dir, "fastgreedy-comm", spark, input_fingerprint=fingerprint
+    )
     wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
     m2 = (wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0]) or 1.0
 
-    cg = wedges  # DF[a, b, w]: a <= b, a == b row = internal weight
-    comm = (
-        wedges.select(F.col("a").alias("id"))
-        .unionAll(wedges.select(F.col("b").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("community"))
-    )
-    comm = _cut(comm)
+    start_rnd = 0
+    cg = comm = None
+    if resume and durable:
+        fg, fc = mgr_g.latest(), mgr_c.latest()
+        if fg is not None and fc is not None:
+            r0 = min(fg[0], fc[0])
+            cg = mgr_g.load(r0, "a").localCheckpoint(eager=True)
+            comm = mgr_c.load(r0, "id").localCheckpoint(eager=True)
+            start_rnd = r0 + 1
+    if cg is None:
+        cg = wedges  # DF[a, b, w]: a <= b, a == b row = internal weight
+        comm = (
+            wedges.select(F.col("a").alias("id"))
+            .unionAll(wedges.select(F.col("b").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("community"))
+        )
+        comm = _cut(comm)
 
-    for _ in range(max_rounds):
+    for rnd in range(start_rnd, max_rounds):
         pairs = cg.where(F.col("a") != F.col("b"))
         # k_C = 2*internal + incident weight, one partial-agg groupBy.
         k = (
@@ -182,6 +213,9 @@ def fastgreedy_communities(
             ).select("id", F.coalesce("new", "community").alias("community"))
         )
         comm = _cut(comm)
+        if durable:
+            cg = mgr_g.save(cg, rnd, "a", counters={"round": rnd})
+            comm = mgr_c.save(comm, rnd, "id", counters={"round": rnd})
     else:
         k = (
             cg.select(F.col("a").alias("c"), "b", "w")

@@ -332,6 +332,13 @@ def _power(
     )
 
 
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
 def leading_eigenvector_communities(
     edges: DataFrame,
     iters: int = 100,
@@ -340,6 +347,9 @@ def leading_eigenvector_communities(
     weights: str | None = None,
     local_threshold: int = 100_000,
     local_edge_threshold: int = 4_000_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community]: deterministic
     distributed Newman leading-eigenvector bisection (two-phase
@@ -360,9 +370,25 @@ def leading_eigenvector_communities(
     all groups in one job. At web scale the top split(s) of the giant
     component run distributed and the geometric tail is embarrassingly
     parallel; `local_threshold=0` forces the pure-distributed path
-    (exercised by the parity pytest against the hybrid default)."""
+    (exercised by the parity pytest against the hybrid default).
+
+    With `checkpoint_dir`, the (active assignment, finalized labels)
+    pair lands durably after every completed LEVEL (bisections halve
+    or finalize every group, so level granularity bounds re-work at
+    <= one level); resume=True restarts from the last completed level
+    — the trajectory is deterministic, so resumed == uninterrupted
+    exactly. m2/sym are invariant and recomputed from the input."""
     spark = edges.sparkSession
     b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    durable = checkpoint_dir is not None
+    from graftlink.checkpoint import CheckpointManager
+
+    mgr_a = CheckpointManager(
+        checkpoint_dir, "leigen-asg", spark, input_fingerprint=fingerprint
+    )
+    mgr_f = CheckpointManager(
+        checkpoint_dir, "leigen-finals", spark, input_fingerprint=fingerprint
+    )
     wedges = _und_weighted(edges, weights).localCheckpoint(eager=True)
     m2 = (wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0]) or 1.0
     sym = wedges.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionAll(
@@ -370,10 +396,20 @@ def leading_eigenvector_communities(
     ).localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.sum("w").alias("k"))
 
-    asg = _cut(deg.select("id", F.lit(0).cast("long").alias("g"), "k"))
+    start_lvl = 0
+    asg = None
     finals: list[DataFrame] = []
+    if resume and durable:
+        fa, ff = mgr_a.latest(), mgr_f.latest()
+        if fa is not None and ff is not None:
+            l0 = min(fa[0], ff[0])
+            asg = mgr_a.load(l0, "id").localCheckpoint(eager=True)
+            finals = [mgr_f.load(l0, "id").localCheckpoint(eager=True)]
+            start_lvl = l0 + 1
+    if asg is None:
+        asg = _cut(deg.select("id", F.lit(0).cast("long").alias("g"), "k"))
 
-    for lvl in range(max_levels):
+    for lvl in range(start_lvl, max_levels):
         sizes = asg.groupBy("g").agg(F.count("*").alias("n"))
         singles = asg.join(sizes.where(F.col("n") <= 1), "g", "left_semi")
         if not singles.isEmpty():
@@ -559,6 +595,14 @@ def leading_eigenvector_communities(
             )
         )
         gsym.unpersist()
+        if durable:
+            funion = (
+                _union_all(finals)
+                if finals
+                else spark.createDataFrame([], "id long, g long")
+            )
+            asg = mgr_a.save(asg, lvl, "id", counters={"level": lvl})
+            finals = [mgr_f.save(funion, lvl, "id", counters={"level": lvl})]
         if asg.isEmpty():
             break
     if not asg.isEmpty():
@@ -567,10 +611,7 @@ def leading_eigenvector_communities(
         empty = edges.sparkSession.createDataFrame([], "id long, community long")
         return empty
 
-    allf = finals[0]
-    for f in finals[1:]:
-        allf = allf.unionAll(f)
-    labels = allf.select("id", F.col("g").alias("label"))
+    labels = _union_all(finals).select("id", F.col("g").alias("label"))
     mmb = labels.groupBy("label").agg(F.min("id").alias("_mm"))
     labels = labels.join(mmb, "label").select("id", F.col("_mm").alias("label"))
     if renumber:

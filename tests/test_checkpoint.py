@@ -340,3 +340,51 @@ def test_infomap_resume_after_level(spark, monkeypatch, tmp_path):
 
     full, resumed = _kill_then_resume(spark, monkeypatch, run, "infomap-", 2)
     assert full == resumed
+
+
+def test_fastgreedy_resume_after_round(spark, monkeypatch, tmp_path):
+    from graftlink.fastgreedy import fastgreedy_communities
+    from tests.oracles import ring_of_cliques
+
+    pairs = ring_of_cliques(6, 5)
+    e = edges_df(spark, pairs)
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "fastgreedy-kill")
+
+    def run(checkpoint_dir, resume):
+        df = fastgreedy_communities(
+            e, checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.community for r in df.collect()}
+
+    # 2 durable saves per completed round (cg + comm); kill after the
+    # first save of round 1 -> resume restarts from round 0's state
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "fastgreedy-", 3)
+    assert full == resumed
+
+
+def test_leading_eigenvector_resume_after_level(spark, monkeypatch, tmp_path):
+    """local_threshold=0 forces the distributed level loop: the hybrid
+    default would finish this fixture inside the level-0 local kernel
+    and return before any durable save lands (level granularity —
+    nothing to resume)."""
+    from graftlink.leading_eigenvector import leading_eigenvector_communities
+    from tests.oracles import two_cliques_bridge
+
+    e = edges_df(spark, two_cliques_bridge())
+    fp = fingerprint_edges(e)
+    d = str(tmp_path / "leigen-kill")
+
+    def run(checkpoint_dir, resume):
+        df = leading_eigenvector_communities(
+            e, iters=20, local_threshold=0,
+            checkpoint_dir=d if checkpoint_dir else None,
+            resume=resume, fingerprint=fp,
+        )
+        return {r.id: r.community for r in df.collect()}
+
+    # 2 durable saves per completed level (asg + finals); kill right
+    # after level 0 lands
+    full, resumed = _kill_then_resume(spark, monkeypatch, run, "leigen-", 2)
+    assert full == resumed
