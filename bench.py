@@ -289,6 +289,25 @@ def main():
     queries["infomap_2lvl_8rnd"] = round(time.monotonic() - t0, 2)
     log(f"infomap: {n_mod + 1} modules {queries['infomap_2lvl_8rnd']}s")
 
+    # round-4 operator: leading-eigenvector bisection, bounded to one
+    # level x 10 power steps (the same bounded-rounds discipline —
+    # per-step cost is the honest signal; the 200k-vertex root group
+    # exceeds local_threshold so this measures the DISTRIBUTED
+    # superstep eigensolver, phase 2 included when the Rayleigh probe
+    # demands it). Fastgreedy is deliberately NOT benched at this
+    # scale: bounded rounds contradict its greedy-fixpoint == max-Q
+    # stop proof (the residual check raises by design) — its sf0.01
+    # driver-check wall is the recorded figure.
+    from graftlink.leading_eigenvector import leading_eigenvector_communities
+
+    t0 = time.monotonic()
+    n_le = (
+        leading_eigenvector_communities(edges, iters=10, max_levels=1)
+        .agg(F.max("community")).collect()[0][0]
+    )
+    queries["leigen_1lvl_10it"] = round(time.monotonic() - t0, 2)
+    log(f"leading_eigenvector: {n_le + 1} groups {queries['leigen_1lvl_10it']}s")
+
     # round-3 session-2 operators: triad census (closed form), Luby
     # MIS, Jones-Plassmann coloring, seeded walks — same graph
     from graftlink.mis import greedy_coloring, maximal_independent_set
