@@ -583,3 +583,64 @@ def test_unigram_vocab_join_is_broadcast(spark):
     plan = plan_of(unigram_logprob(docs))
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_leigen_power_step_no_window_no_sort(spark):
+    """The distributed leading-eigenvector power step must plan with
+    no Window and no SortMergeJoin: the per-group scalars (norms, s)
+    ride as BroadcastHashJoins of tiny sub-aggregates and the message
+    join is hash-shaped. Capture each step's plan via the lineage cut
+    that materializes it."""
+    import graftlink.lineage as gl
+    from graftlink.leading_eigenvector import leading_eigenvector_communities
+
+    captured = []
+    orig = gl.cut
+
+    def spy(df, **k):
+        captured.append(plan_of(df))
+        return orig(df, **k)
+
+    e = edges_df(spark, er_edges(40, 0.15, 9))
+    gl_mod = __import__("graftlink.leading_eigenvector", fromlist=["_cut"])
+    saved = gl_mod._cut
+    gl_mod._cut = lambda df: spy(df, eager=True)
+    try:
+        leading_eigenvector_communities(
+            e, iters=12, max_levels=1, local_threshold=0
+        ).count()
+    finally:
+        gl_mod._cut = saved
+    assert len(captured) >= 12  # at least one phase of power steps
+    for plan in captured:
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+    assert any("BroadcastHashJoin" in p for p in captured)
+
+
+def test_widest_superstep_sort_free(spark):
+    """widest_path_widths inherits sssp_weighted's physical shape:
+    persisted hash(src,B) edges, ShuffledHashJoin per round, never a
+    SortMergeJoin re-sort of the edge side."""
+    import graftlink.paths as gp
+
+    captured = []
+    orig = gp.CheckpointManager.save
+
+    def spy(self, df, *a, **k):
+        captured.append(plan_of(df))
+        return orig(self, df, *a, **k)
+
+    e = edges_df(spark, er_edges(60, 0.12, 4))
+    we = e.withColumn(
+        "w", (F.pmod(F.col("src") + F.col("dst"), F.lit(5)) + 1).cast("double")
+    )
+    gp.CheckpointManager.save = spy
+    try:
+        gp.widest_path_widths(we, source=0, weight_col="w", buckets=4).count()
+    finally:
+        gp.CheckpointManager.save = orig
+    assert len(captured) >= 2
+    for plan in captured:
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" in plan
