@@ -34,6 +34,7 @@ from graftlink import metrics as _metrics
 from graftlink import graphops as _graphops
 from graftlink import bipartite as _bipartite
 from graftlink import bowtie as _bowtie
+from graftlink import compare as _compare
 from graftlink import knn as _knn
 from graftlink import pii as _pii
 from graftlink import sessions as _sessions
@@ -886,6 +887,23 @@ def _q_modularity_lpa(spark, sf_dir):
     return spark.createDataFrame([(float(q),)], "modularity double")
 
 
+def _q_compare_partitions(spark, sf_dir):
+    """igraph `compare_communities` (methods vi/nmi/rand/
+    adjusted_rand/split-join in one row): connected-component labels
+    vs a 16-way hash stratification of the same vertex set — both
+    deterministic, so the five metrics are hash-checkable. Entropy
+    folds add in ascending label order (bit-identical to the twin's
+    `sum(... ORDER BY ...)`); pair counts stay exact bigints."""
+    from graftlink.compare import compare_communities
+    from graftlink.components import connected_components
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    cc = connected_components(e, algo="star")
+    a = cc.select("id", F.col("component").alias("label"))
+    b = cc.select("id", (F.col("id") % 16).alias("label"))
+    return compare_communities(a, b)
+
+
 def _q_topo_levels(spark, sf_dir):
     """Longest-path topological layering (igraph topological_sorting
     surface) of the DAG obtained by orienting every undirected edge
@@ -1650,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
         "modularity_lpa": _q_modularity_lpa,
+        "compare_partitions": _q_compare_partitions,
         "rewire_null_model": _q_rewire,
         "harmonic_all": _q_harmonic_all,
         "closeness_all": _q_closeness_all,
@@ -2084,6 +2103,11 @@ def oracle_sql() -> dict[str, str]:
         "path_length_stats": _cycles.path_length_stats_sql(_CLEAN),
         "path_length_hist": _cycles.path_length_hist_sql(_CLEAN),
         "modularity_lpa": _isql.modularity_sql(_CLEAN, _isql.lpa_sql(_CLEAN)),
+        "compare_partitions": _compare.compare_communities_sql(
+            f"SELECT id, component AS label FROM ({_isql.components_sql(_CLEAN)})",
+            f"SELECT id, id % 16 AS label FROM (SELECT src AS id FROM ({_CLEAN})"
+            f" UNION SELECT dst FROM ({_CLEAN}))",
+        ),
         "rewire_null_model": _rewire.rewire_sql(_CLEAN, rounds=3, seed=42),
         "harmonic_all": _cycles.harmonic_all_sql(_CLEAN),
         "closeness_all": _cycles.closeness_all_sql(_CLEAN),

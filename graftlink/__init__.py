@@ -32,6 +32,7 @@ from graftlink.bipartite import (
 from graftlink.dag import is_dag, topo_levels
 from graftlink.kcore import core_numbers, k_core
 from graftlink.knn import knn_graph
+from graftlink.compare import compare_communities
 from graftlink.relevance import unigram_logprob
 from graftlink.pii import pii_signals, redact_pii
 from graftlink.walks import weighted_random_walks
@@ -99,6 +100,7 @@ __all__ = [
     "redact_pii",
     "session_stats",
     "sessionize",
+    "compare_communities",
     "unigram_logprob",
     "weighted_random_walks",
     "streaming_sessionize",
