@@ -41,6 +41,7 @@ from graftlink import sessions as _sessions
 from graftlink import rewire as _rewire
 from graftlink import cycles as _cycles
 from graftlink import mis as _mis
+from graftlink import matching as _matching
 from graftlink import motifs as _motifs
 from graftlink import vertices as _vertices
 from graftlink import mst as _mst_sql
@@ -1161,6 +1162,16 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_matching(spark, sf_dir):
+    """igraph matching surface (maximum_bipartite_matching's scalable
+    stand-in, SURVEY §2A ledger): deterministic greedy maximal
+    matching via locally-minimal-edge rounds (== sequential greedy
+    over ascending edge priority; |M| >= |M*|/2)."""
+    from graftlink.matching import maximal_matching
+
+    return maximal_matching(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_coloring(spark, sf_dir):
     """igraph_vertex_coloring_greedy surface: Jones–Plassmann with
     fixed hash priorities (== sequential greedy, descending)."""
@@ -1802,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
+        "maximal_matching": _q_matching,
         "greedy_coloring": _q_coloring,
         "vertex_block_counts": _q_vertex_block_counts,
         "strength_weighted": _q_strength,
@@ -2078,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
             order_sql="n_chars DESC, doc_id",
         ),
         "mis_vertices": _mis.mis_sql(_CLEAN),
+        "maximal_matching": _matching.maximal_matching_sql(_CLEAN),
         "greedy_coloring": _mis.coloring_sql(_CLEAN),
         "triad_census": _triads.triad_census_sql(_CLEAN),
         "edge_trussness": _truss_sql.trussness_sql(_CLEAN),

@@ -33,6 +33,7 @@ from graftlink.dag import is_dag, topo_levels
 from graftlink.kcore import core_numbers, k_core
 from graftlink.knn import knn_graph
 from graftlink.compare import compare_communities
+from graftlink.matching import maximal_matching
 from graftlink.relevance import unigram_logprob
 from graftlink.pii import pii_signals, redact_pii
 from graftlink.walks import weighted_random_walks
@@ -101,6 +102,7 @@ __all__ = [
     "session_stats",
     "sessionize",
     "compare_communities",
+    "maximal_matching",
     "unigram_logprob",
     "weighted_random_walks",
     "streaming_sessionize",
