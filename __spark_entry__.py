@@ -1702,8 +1702,8 @@ def _q_maximal_cliques(spark, sf_dir):
 
 def _q_clique_number(spark, sf_dir):
     """igraph clique_number: scalar max over the maximal-clique
-    enumeration; twin counts bounded k-cliques by ordered tuple
-    joins."""
+    enumeration; twin = deepest non-empty level of the incremental
+    bounded-k clique chain."""
     from graftlink.cliques import clique_number
 
     e = clean_edges(doc_edges(spark, sf_dir))
