@@ -1686,6 +1686,17 @@ def _q_harmonic_hyperball(spark, sf_dir):
     )
 
 
+def _q_closeness_hyperball(spark, sf_dir):
+    """igraph closeness(normalized=True), HyperBall estimator:
+    sum-of-distances accumulated as sum_t t*(est_t - est_{t-1}),
+    closeness = (est_T - 1)/sumdist — the sketch row next to the
+    exact closeness_all."""
+    from graftlink.hyperball import hyperball
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    return hyperball(e, order=5, log2m=4, mode="out", closeness=True)
+
+
 def _q_maximal_cliques(spark, sf_dir):
     """igraph maximal_cliques: exactly-once enumeration via
     (deg,id)-owner decomposition + Tomita-pivot BK over cogrouped ego
@@ -1901,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter_hll": _q_effective_diameter,
         "hyperball_balls": _q_hyperball_balls,
         "harmonic_hyperball": _q_harmonic_hyperball,
+        "closeness_hyperball": _q_closeness_hyperball,
         "maximal_cliques": _q_maximal_cliques,
         "clique_number": _q_clique_number,
     }
@@ -2267,6 +2279,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "harmonic_hyperball": _hb.hyperball_harmonic_sql(
             _CLEAN, order=5, log2m=4
+        ),
+        "closeness_hyperball": _hb.hyperball_closeness_sql(
+            _CLEAN, order=5, log2m=4, mode="out"
         ),
         # bounded-k clique twins: valid while omega <= k_max (sf0.01
         # doc graph: omega = 3; a larger Spark-side clique would

@@ -182,6 +182,7 @@ def hyperball(
     mode: str = "out",
     max_iter: int = 64,
     harmonic: bool = False,
+    closeness: bool = False,
     engine: str = "jvm",
     buckets: int | None = None,
     checkpoint_dir: str | None = None,
@@ -201,6 +202,11 @@ def hyperball(
     vertices that REACH v) and accumulates
     (est_t - est_{t-1})/t per vertex, clamped at >= 0 (the linear-
     counting/raw crossover can dip, identically in the twin).
+    closeness=True (any mode) accumulates the sum of distances
+    sum_t t*(est_t - est_{t-1}) the same way and emits the normalized
+    inverse-mean-distance estimate (est_T - 1)/sumdist (igraph
+    closeness(normalized=True); NULL where nothing is reachable,
+    matching igraph's NaN).
 
     order=None runs until the global register sum is a fixpoint
     (sum of all registers is monotone and strictly increases iff ANY
@@ -216,6 +222,7 @@ def hyperball(
     """
     if harmonic and mode != "in":
         raise ValueError("harmonic centrality needs mode='in' balls")
+    accumulate = harmonic or closeness
     spark = edges.sparkSession
     m = 1 << log2m
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -261,11 +268,14 @@ def hyperball(
             F.col("id"),
             _init_sketch(F.col("id"), m).alias("sketch"),
         ]
+        if accumulate:
+            cols.append(
+                _est_expr(_init_sketch(F.col("id"), m), m).alias("est_prev")
+            )
         if harmonic:
-            cols += [
-                _est_expr(_init_sketch(F.col("id"), m), m).alias("est_prev"),
-                F.lit(0.0).alias("harmonic_est"),
-            ]
+            cols.append(F.lit(0.0).alias("harmonic_est"))
+        if closeness:
+            cols.append(F.lit(0.0).alias("sumdist_est"))
         state = (
             vertex_universe(edges).select(*cols).repartition(b, "id")
         )
@@ -307,24 +317,32 @@ def hyperball(
                     ).alias("sketch")
                 )
             )
-        if harmonic:
+        if accumulate:
             new_est = _est_expr(merged["sketch"], m)
+            delta = F.greatest(F.lit(0.0), new_est - F.col("est_prev"))
+            acc_in = ["id", "est_prev"]
+            acc_out = ["id", "sketch", new_est.alias("est_prev")]
+            if harmonic:
+                acc_in.append("harmonic_est")
+                acc_out.append(
+                    (
+                        F.col("harmonic_est") + delta / F.lit(float(it + 1))
+                    ).alias("harmonic_est")
+                )
+            if closeness:
+                acc_in.append("sumdist_est")
+                acc_out.append(
+                    (
+                        F.col("sumdist_est") + delta * F.lit(float(it + 1))
+                    ).alias("sumdist_est")
+                )
             new_state = (
-                state.select("id", "est_prev", "harmonic_est")
+                state.select(*acc_in)
                 .join(
                     merged.hint("shuffle_hash"),
                     state["id"] == merged["dst"], "inner",
                 )
-                .select(
-                    "id", "sketch",
-                    new_est.alias("est_prev"),
-                    (
-                        F.col("harmonic_est")
-                        + F.greatest(
-                            F.lit(0.0), new_est - F.col("est_prev")
-                        ) / F.lit(float(it + 1))
-                    ).alias("harmonic_est"),
-                )
+                .select(*acc_out)
             )
         else:
             new_state = merged.select(F.col("dst").alias("id"), "sketch")
@@ -344,6 +362,20 @@ def hyperball(
     out_cols = ["id", F.round(_est_expr(F.col("sketch"), m), 6).alias("ball_est")]
     if harmonic:
         out_cols.append(F.round("harmonic_est", 6).alias("harmonic_est"))
+    if closeness:
+        # normalized (inverse-MEAN-distance) estimator: reachable-1
+        # over total distance — the robust sketch form (HyperBall §5);
+        # NULL where nothing was ever reached (igraph returns NaN)
+        out_cols.append(
+            F.round(
+                F.when(
+                    F.col("sumdist_est") > 0.0,
+                    (_est_expr(F.col("sketch"), m) - F.lit(1.0))
+                    / F.col("sumdist_est"),
+                ),
+                6,
+            ).alias("closeness_est")
+        )
     out = mgr.finalize(state.select(*out_cols))
     adj.unpersist()
     if stats is not None:
@@ -552,6 +584,34 @@ def effective_diameter_sql(
         CROSS JOIN thr
         JOIN nf c ON c.t = h.t_hit
         LEFT JOIN nf p ON p.t = h.t_hit - 1
+    """
+
+
+def hyperball_closeness_sql(
+    clean: str, order: int, log2m: int = 4, mode: str = "out"
+) -> str:
+    """Twin of hyperball(closeness=True, mode=): DF[id, ball_est,
+    closeness_est] — per-round est deltas clamped at >= 0, weighted
+    by t into sumdist; closeness = (est_T - 1)/sumdist, NULL when
+    sumdist = 0 (isolated)."""
+    m = 1 << log2m
+    sumdist = " + ".join(
+        f"greatest(0.0, {_sql_est(f'r{t}.sk', m)} "
+        f"- {_sql_est(f'r{t - 1}.sk', m)}) * {float(t)!r}"
+        for t in range(1, order + 1)
+    )
+    joins = " ".join(
+        f"JOIN r{t} ON r{t}.id = r0.id" for t in range(1, order + 1)
+    )
+    final = _sql_est(f"r{order}.sk", m)
+    return f"""
+        WITH {_sql_rounds(clean, order, m, mode)}
+        SELECT r0.id AS id,
+               round({final}, 6) AS ball_est,
+               round(CASE WHEN ({sumdist}) > 0.0
+                     THEN ({final} - 1.0) / ({sumdist}) END, 6)
+                   AS closeness_est
+        FROM r0 {joins}
     """
 
 

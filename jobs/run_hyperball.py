@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--synthetic")
     ap.add_argument(
         "--algo",
-        choices=["balls", "anf", "diameter", "harmonic"],
+        choices=["balls", "anf", "diameter", "harmonic", "closeness"],
         default="anf",
     )
     ap.add_argument("--order", type=int, default=8)
@@ -77,6 +77,14 @@ def main():
             mode=args.mode, engine=args.engine,
         )
         summary["effective_diameter"] = res.collect()[0]["effective_diameter"]
+    elif args.algo == "closeness":
+        res = hyperball(
+            edges, order=args.order, log2m=args.log2m, mode=args.mode,
+            closeness=True, engine=args.engine,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            fingerprint=fp, stats=stats,
+        )
+        summary["rows"] = res.count()
     else:
         summary["mode"] = "in"  # harmonic counts vertices that REACH v
         res = hyperball(

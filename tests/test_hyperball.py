@@ -105,6 +105,52 @@ def test_harmonic_twin_and_exact_correlation(spark):
     assert len(top_exact & top_est) >= 3
 
 
+def test_closeness_twin_and_exact_correlation(spark):
+    # includes an isolated-side fixture: vertices 10..12 in two_comp
+    # reach nothing in mode="out" from 12 -> closeness NULL there
+    for name in ("karate", "two_comp"):
+        pairs = CASES[name]
+        e = edges_df(spark, pairs)
+        got = {
+            r["id"]: (
+                None
+                if r["closeness_est"] is None
+                else round(float(r["closeness_est"]), 6)
+            )
+            for r in hb.hyperball(
+                e, order=5, log2m=6, mode="out", closeness=True
+            ).select("id", "closeness_est").collect()
+        }
+        con = duck_con(pairs)
+        want = {
+            i: (None if c is None else round(float(c), 6))
+            for i, _, c in con.execute(
+                hb.hyperball_closeness_sql(CLEAN, order=5, log2m=6, mode="out")
+            ).fetchall()
+        }
+        assert got == want, name
+    # rank sanity vs exact closeness on UNDIRECTED karate (connected,
+    # diameter 5, so the 5-round ball is the full graph; directed
+    # out-closeness is rank-pathological by definition — a leaf that
+    # reaches one vertex at distance 1 scores a perfect 1.0)
+    g = nx.Graph()
+    g.add_edges_from(CASES["karate"])
+    exact = nx.closeness_centrality(g)
+    pairs = CASES["karate"]
+    e = edges_df(spark, pairs)
+    got = {
+        r["id"]: float(r["closeness_est"])
+        for r in hb.hyperball(
+            e, order=5, log2m=8, mode="all", closeness=True
+        ).collect()
+        if r["closeness_est"] is not None
+    }
+    ids = sorted(got)
+    top_exact = set(sorted(ids, key=lambda i: -exact[i])[:5])
+    top_est = set(sorted(ids, key=lambda i: -got[i])[:8])
+    assert len(top_exact & top_est) >= 3
+
+
 def test_arrow_engine_identical(spark):
     pairs = CASES["er60"]
     e = edges_df(spark, pairs)
