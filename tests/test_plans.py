@@ -644,3 +644,40 @@ def test_widest_superstep_sort_free(spark):
     for plan in captured:
         assert "SortMergeJoin" not in plan
         assert "ShuffledHashJoin" in plan
+
+
+def test_hyperball_superstep_sort_free_no_window(spark):
+    """The HyperBall superstep (scatter over packed adjacency +
+    register-max reduce) must keep the house physics: the state join
+    is a ShuffledHashJoin against the persisted adjacency (never a
+    SortMergeJoin re-sort of the packed arrays), the register reduce
+    is a partial-agg max (map-side combine — hub-skew immunity), and
+    there is no Window anywhere. Harmonic/closeness accumulation adds
+    one more shuffle_hash state join, same rules."""
+    import graftlink.hyperball as hb
+
+    captured = []
+    orig = hb.CheckpointManager.save
+
+    def spy(self, df, *a, **k):
+        captured.append(plan_of(df))
+        return orig(self, df, *a, **k)
+
+    e = edges_df(spark, er_edges(60, 0.12, 4))
+    hb.CheckpointManager.save = spy
+    try:
+        hb.hyperball(
+            e, order=2, log2m=4, mode="in", harmonic=True, closeness=True,
+            buckets=4,
+        ).count()
+    finally:
+        hb.CheckpointManager.save = orig
+    # it=-1 init save + 2 superstep saves
+    assert len(captured) >= 3
+    for plan in captured:
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+    supersteps = captured[1:]
+    for plan in supersteps:
+        assert "ShuffledHashJoin" in plan
+        assert "partial_max" in plan
