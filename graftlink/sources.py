@@ -61,3 +61,91 @@ def write_edges_bucketed(edges: DataFrame, table: str, buckets: int = 32) -> Non
 
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
+
+
+# --- igraph text I/O surface (Read_Edgelist / Write_Edgelist /
+# Read_Ncol; igraph@0.10.x src/io/edgelist.c, ncol.c [unverified —
+# reference checkout is empty]). Text scans split across executors
+# like any other file source, so these scale with partition count;
+# GraphML/GML stay out of scope (single-document XML has no
+# distributed parse and the formats exist for interchange with
+# visualization tools, not 1e12-edge corpora — see SURVEY.md ledger).
+
+def read_edgelist(
+    spark: SparkSession,
+    path: str,
+    weight: bool = False,
+    comment: str = "#",
+    delimiter: str = r"\s+",
+) -> DataFrame:
+    """igraph Read_Edgelist: whitespace-separated integer-id pairs,
+    one edge per line -> DF[src long, dst long (, weight double)].
+    Blank and comment lines are skipped."""
+    lines = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("v"))
+        .where((F.col("v") != "") & (~F.col("v").startswith(comment)))
+        .select(F.split("v", delimiter).alias("p"))
+    )
+    cols = [
+        F.col("p")[0].cast("long").alias("src"),
+        F.col("p")[1].cast("long").alias("dst"),
+    ]
+    if weight:
+        cols.append(F.col("p")[2].cast("double").alias("weight"))
+    return lines.select(*cols)
+
+
+def write_edgelist(
+    edges: DataFrame, path: str, weight_col: str | None = None,
+    delimiter: str = " ", mode: str = "overwrite",
+) -> None:
+    """igraph Write_Edgelist: one 'src dst[ weight]' line per edge
+    (text directory, one shard per partition — a cat is the igraph
+    single file)."""
+    cols = [F.col("src").cast("string"), F.col("dst").cast("string")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("string"))
+    edges.select(F.concat_ws(delimiter, *cols).alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
+def read_ncol(
+    spark: SparkSession,
+    path: str,
+    weight: bool = False,
+    comment: str = "#",
+    delimiter: str = r"\s+",
+):
+    """igraph Read_Ncol: 'name name [weight]' lines with STRING vertex
+    names -> (edges DF[src, dst (, weight)], names DF[id, name]) where
+    ids are the engine's deterministic dense ranks (two-pass prefix
+    sum, no global window — the url-dictionary machinery)."""
+    from graftlink.vertices import dense_rank_ids
+
+    lines = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("v"))
+        .where((F.col("v") != "") & (~F.col("v").startswith(comment)))
+        .select(F.split("v", delimiter).alias("p"))
+    )
+    cols = [
+        F.col("p")[0].alias("src_name"),
+        F.col("p")[1].alias("dst_name"),
+    ]
+    if weight:
+        cols.append(F.col("p")[2].cast("double").alias("weight"))
+    named = lines.select(*cols)
+    names = dense_rank_ids(
+        named.select(F.col("src_name").alias("name")).unionAll(
+            named.select(F.col("dst_name").alias("name"))
+        ),
+        "name",
+        "id",
+    )
+    s = names.select(F.col("id").alias("src"), F.col("name").alias("src_name"))
+    d = names.select(F.col("id").alias("dst"), F.col("name").alias("dst_name"))
+    out_cols = ["src", "dst"] + (["weight"] if weight else [])
+    edges = named.join(s, "src_name").join(d, "dst_name").select(*out_cols)
+    return edges, names

@@ -14,6 +14,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges")
+    ap.add_argument(
+        "--format", default="parquet", choices=["parquet", "edgelist", "ncol"],
+        help="--edges file format: parquet, igraph integer edgelist, "
+             "or ncol (string names; dense ids assigned)",
+    )
     ap.add_argument("--synthetic")
     ap.add_argument("--algo", default="star", choices=["star", "minlabel"])
     ap.add_argument("--checkpoint-dir")
@@ -29,6 +34,14 @@ def main():
     if args.synthetic:
         n, m = (int(x) for x in args.synthetic.split(","))
         edges = synthetic_edges(spark, n, m)
+    elif args.format == "edgelist":
+        from graftlink.sources import read_edgelist
+
+        edges = read_edgelist(spark, args.edges)
+    elif args.format == "ncol":
+        from graftlink.sources import read_ncol
+
+        edges, _names = read_ncol(spark, args.edges)
     else:
         edges = spark.read.parquet(args.edges)
 
