@@ -35,6 +35,7 @@ from graftlink import graphops as _graphops
 from graftlink import bipartite as _bipartite
 from graftlink import bowtie as _bowtie
 from graftlink import compare as _compare
+from graftlink import hostgraph as _hostgraph
 from graftlink import knn as _knn
 from graftlink import pii as _pii
 from graftlink import sessions as _sessions
@@ -1721,6 +1722,51 @@ def _q_clique_number(spark, sf_dir):
     return clique_number(e)
 
 
+def _q_host_graph_edges(spark, sf_dir):
+    """cc-webgraph host-level rollup: page edges contracted by url
+    host, weight = page-link count, intra-host dropped."""
+    from graftlink.hostgraph import doc_url_edges, host_edges
+
+    return host_edges(doc_url_edges(spark, sf_dir))
+
+
+def _q_domain_graph_edges(spark, sf_dir):
+    """cc-webgraph domain-level rollup (last-two-labels registrable
+    domain, documented simplification of the PSL)."""
+    from graftlink.hostgraph import doc_url_edges, domain_edges
+
+    return domain_edges(doc_url_edges(spark, sf_dir))
+
+
+def _q_host_link_stats(spark, sf_dir):
+    """Per-host outbound profile: out_links / intra_links /
+    intra_frac / distinct external dst hosts."""
+    from graftlink.hostgraph import doc_url_edges, host_link_stats
+
+    return host_link_stats(doc_url_edges(spark, sf_dir))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank on the host rollup — the headline
+    cc-webgraph centrality. Fixed iterations (tol=0) to mirror the
+    bounded-round recursive-CTE twin; round BEFORE the top-10 cut so
+    rounded-boundary ties break on host identically in both engines."""
+    from graftlink.hostgraph import doc_url_edges, host_pagerank
+    from graftlink.iterative_sql import PR_ITERS
+
+    hp = host_pagerank(
+        doc_url_edges(spark, sf_dir),
+        max_iter=PR_ITERS,
+        tol=0.0,
+        checkpoint_mode="local",
+    )
+    return (
+        hp.select("host", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("host").asc())
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1746,11 +1792,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bfs/multi_source parents, bibcoupling, r03-recorded
         # induced/contracted set algebra) and stays verified by the
         # FULL sweep (tools/driver_check.py) + pytest.
+        # Session-7 rotation: the new host/domain web-graph family
+        # (graftlink/hostgraph.py) enters at the very front;
+        # pii_redacted / harmonic_all / core_numbers_in / bm25_top20
+        # rotate to the tail to make room — each keeps an exact
+        # family sibling in the front (pii_signals, closeness_all +
+        # eccentricity_all on the same kernel, core_numbers on the
+        # same peel, tfidf_top3) and stays verified by the FULL sweep
+        # (tools/driver_check.py) + pytest.
+        "host_graph_edges": _q_host_graph_edges,
+        "domain_graph_edges": _q_domain_graph_edges,
+        "host_link_stats": _q_host_link_stats,
+        "host_pagerank_top10": _q_host_pagerank,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
         "pii_signals": _q_pii_signals,
-        "pii_redacted": _q_pii_redacted,
         "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
         "weighted_random_walks": _q_weighted_walks,
@@ -1760,11 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "compare_partitions": _q_compare_partitions,
         "rewire_null_model": _q_rewire,
-        "harmonic_all": _q_harmonic_all,
         "closeness_all": _q_closeness_all,
         "pack_chunks": _q_pack_chunks,
         "articulation_points": _q_articulation_points,
-        "core_numbers_in": _q_core_numbers_in,
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
         "girth": _q_girth,
@@ -1789,7 +1844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
         "tfidf_top3": _q_tfidf_top3,
-        "bm25_top20": _q_bm25_top20,
         "edge_betweenness": _q_edge_betweenness,
         "louvain_weighted_communities": _q_louvain_weighted,
         "infomap_weighted_communities": _q_infomap_weighted,
@@ -1827,6 +1881,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dyad_census": _q_dyad_census,
         "four_clique_count": _q_four_cliques,
         "assortativity_by_lang": _q_assortativity_by_lang,
+        "pii_redacted": _q_pii_redacted,
+        "harmonic_all": _q_harmonic_all,
+        "core_numbers_in": _q_core_numbers_in,
+        "bm25_top20": _q_bm25_top20,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -1960,7 +2018,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst"
         " FROM lineitem"
     )
+    _URLEDGES = _hostgraph.doc_url_edges_sql(_CLEAN)
     return {
+        "host_graph_edges": _hostgraph.host_edges_sql(_URLEDGES),
+        "domain_graph_edges": _hostgraph.domain_edges_sql(_URLEDGES),
+        "host_link_stats": _hostgraph.host_link_stats_sql(_URLEDGES),
+        "host_pagerank_top10": _hostgraph.host_pagerank_sql(
+            _URLEDGES, iters=_isql.PR_ITERS
+        ),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""

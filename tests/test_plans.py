@@ -681,3 +681,31 @@ def test_hyperball_superstep_sort_free_no_window(spark):
     for plan in supersteps:
         assert "ShuffledHashJoin" in plan
         assert "partial_max" in plan
+
+
+def test_host_rollup_single_exchange_codegen(spark, tmp_path):
+    """Host-graph rollup discipline over a stored url-edge table: the
+    url->host regexp is a JVM expression (no Python eval in the
+    plan), the contraction is ONE exchange fed by a map-side partial
+    count (hub host-pairs combine before the shuffle), and only the
+    two url columns are read from the scan (anchor text / crawl
+    metadata never move)."""
+    from graftlink.hostgraph import host_edges
+
+    p = str(tmp_path / "urledges")
+    spark.createDataFrame(
+        [("https://a.x.org/1", "https://b.x.org/2", "anchor text")] * 10,
+        "src_url string, dst_url string, anchor string",
+    ).write.parquet(p)
+    q = host_edges(spark.read.parquet(p))
+    plan = plan_of(q)
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    import re
+
+    # one Exchange NODE (each node appears twice in explain-formatted:
+    # tree + detail header, so count detail headers)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_count" in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "anchor" not in read_schema  # column pruning reaches the scan
