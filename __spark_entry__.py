@@ -36,6 +36,7 @@ from graftlink import bipartite as _bipartite
 from graftlink import bowtie as _bowtie
 from graftlink import compare as _compare
 from graftlink import hostgraph as _hostgraph
+from graftlink import voronoi as _voronoi
 from graftlink import knn as _knn
 from graftlink import pii as _pii
 from graftlink import sessions as _sessions
@@ -1767,6 +1768,15 @@ def _q_host_pagerank(spark, sf_dir):
     )
 
 
+def _q_voronoi(spark, sf_dir):
+    """Voronoi communities (igraph community_voronoi anchor,
+    deterministic integer spec) — the one community-family row with a
+    FULL value-hash oracle (all state is exact integers)."""
+    from graftlink.voronoi import voronoi_communities
+
+    return voronoi_communities(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1793,17 +1803,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # induced/contracted set algebra) and stays verified by the
         # FULL sweep (tools/driver_check.py) + pytest.
         # Session-7 rotation: the new host/domain web-graph family
-        # (graftlink/hostgraph.py) enters at the very front;
-        # pii_redacted / harmonic_all / core_numbers_in / bm25_top20
+        # (graftlink/hostgraph.py) + Voronoi communities
+        # (graftlink/voronoi.py — the one community row with a full
+        # value-hash oracle) enter at the very front; pii_redacted /
+        # harmonic_all / core_numbers_in / bm25_top20 / closeness_all
         # rotate to the tail to make room — each keeps an exact
-        # family sibling in the front (pii_signals, closeness_all +
-        # eccentricity_all on the same kernel, core_numbers on the
-        # same peel, tfidf_top3) and stays verified by the FULL sweep
+        # family sibling in the front (pii_signals, eccentricity_all
+        # on the same all-roots kernel x2, core_numbers on the same
+        # peel, tfidf_top3) and stays verified by the FULL sweep
         # (tools/driver_check.py) + pytest.
         "host_graph_edges": _q_host_graph_edges,
         "domain_graph_edges": _q_domain_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "host_pagerank_top10": _q_host_pagerank,
+        "voronoi_communities": _q_voronoi,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
@@ -1817,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "compare_partitions": _q_compare_partitions,
         "rewire_null_model": _q_rewire,
-        "closeness_all": _q_closeness_all,
         "pack_chunks": _q_pack_chunks,
         "articulation_points": _q_articulation_points,
         "neighborhood_size_2": _q_neighborhood_size_2,
@@ -1882,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_clique_count": _q_four_cliques,
         "assortativity_by_lang": _q_assortativity_by_lang,
         "pii_redacted": _q_pii_redacted,
+        "closeness_all": _q_closeness_all,
         "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
         "bm25_top20": _q_bm25_top20,
@@ -2026,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_top10": _hostgraph.host_pagerank_sql(
             _URLEDGES, iters=_isql.PR_ITERS
         ),
+        "voronoi_communities": _voronoi.voronoi_sql(_CLEAN, rounds=60),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""
