@@ -1777,6 +1777,14 @@ def _q_voronoi(spark, sf_dir):
     return voronoi_communities(clean_edges(doc_edges(spark, sf_dir)))
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Cross-document span duplication (Lee et al. 2022 window
+    restatement): w=8 token windows, flag at dup_frac > 0.2."""
+    from graftlink.corpus import span_dedup
+
+    return span_dedup(read_documents(spark, sf_dir), w=8, threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1817,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_stats": _q_host_link_stats,
         "host_pagerank_top10": _q_host_pagerank,
         "voronoi_communities": _q_voronoi,
+        "span_dedup_docs": _q_span_dedup,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
@@ -1827,7 +1836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": _q_windowed_event_counts,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
-        "modularity_lpa": _q_modularity_lpa,
         "compare_partitions": _q_compare_partitions,
         "rewire_null_model": _q_rewire,
         "pack_chunks": _q_pack_chunks,
@@ -1838,7 +1846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
-        "bfs_parents": _q_bfs_parents,
         "shortest_path_0_42": _q_shortest_path,
         "bridges": _q_bridges,
         "leiden_communities": _q_leiden,
@@ -1895,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity_by_lang": _q_assortativity_by_lang,
         "pii_redacted": _q_pii_redacted,
         "closeness_all": _q_closeness_all,
+        "center_periphery": _q_center_periphery,
+        "bfs_parents": _q_bfs_parents,
+        "modularity_lpa": _q_modularity_lpa,
         "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
         "bm25_top20": _q_bm25_top20,
@@ -1967,7 +1977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_coloring": _q_coloring,
         "vertex_block_counts": _q_vertex_block_counts,
         "strength_weighted": _q_strength,
-        "center_periphery": _q_center_periphery,
         "path_length_hist": _q_path_length_hist,
         "avg_local_clustering": _q_avg_local_clustering,
         "radius_diameter": _q_radius_diameter,
@@ -2040,6 +2049,9 @@ def oracle_sql() -> dict[str, str]:
             _URLEDGES, iters=_isql.PR_ITERS
         ),
         "voronoi_communities": _voronoi.voronoi_sql(_CLEAN, rounds=60),
+        "span_dedup_docs": _corpus.span_dedup_sql(
+            "SELECT doc_id, text FROM documents", w=8, threshold=0.2
+        ),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""

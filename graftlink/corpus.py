@@ -41,7 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from graftlink.texthash import shingle_hashes, shingle_hashes_sql
+from graftlink.texthash import (shingle_hashes, shingle_hashes_sql,
+                                window_hashes, window_hashes_sql)
 
 
 def per_domain_cap(
@@ -374,6 +375,87 @@ def curate_sql(
         ),
         s4 AS MATERIALIZED ({capped})
         SELECT doc_id, source, split FROM ({split})
+    """
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 16,
+    threshold: float = 0.5,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """DF[id, n_windows, dup_windows, dup_frac, flagged] — CROSS-document
+    span duplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": exact substring matches of ~50
+    tokens across documents; bounded here to fixed w-token sliding
+    windows, the MapReduce-friendly restatement of their suffix-array
+    pass). A window position counts as duplicated iff its hash occurs
+    in >= 2 DISTINCT documents; intra-document repeats are the
+    separate repetition_signals operator. flagged compares the
+    ROUNDED dup fraction to the threshold so both engines decide the
+    boundary identically.
+
+    Scale shape: exploded rows carry (doc_id, 8-byte window hash) —
+    text never shuffles; the cross-doc count and the per-doc rollup
+    are two partial-agg groupBys keyed on the hash / the doc id, and
+    the hash join between them is the line_dedup plan exactly.
+    """
+    wh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(window_hashes(F.col(text_col), w=w, hash_mode=hash_mode)).alias(
+            "_h"
+        ),
+    )
+    counts = wh.groupBy("_h").agg(F.count_distinct("id").alias("_nd"))
+    per = (
+        wh.join(counts, "_h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("_nd") >= 2).cast("long")).alias("dup_windows"),
+        )
+    )
+    frac = F.round(F.col("dup_windows") / F.col("n_windows"), 6)
+    return per.select(
+        "id",
+        "n_windows",
+        "dup_windows",
+        frac.alias("dup_frac"),
+        (frac > threshold).alias("flagged"),
+    )
+
+
+def span_dedup_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    wsql = window_hashes_sql(text_col, w=w)
+    return f"""
+        WITH wh AS MATERIALIZED (
+            SELECT d.{id_col} AS id, u.h AS h
+            FROM (SELECT {id_col}, {wsql} AS hs FROM ({docs_sql})) d,
+                 UNNEST(d.hs) AS u(h)
+        ),
+        cnt AS MATERIALIZED (
+            SELECT h, count(DISTINCT id) AS nd FROM wh GROUP BY h
+        ),
+        per AS (
+            SELECT wh.id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_windows
+            FROM wh JOIN cnt c ON c.h = wh.h
+            GROUP BY wh.id
+        )
+        SELECT id, n_windows, dup_windows,
+               round(dup_windows * 1.0 / n_windows, 6) AS dup_frac,
+               round(dup_windows * 1.0 / n_windows, 6) > {threshold} AS flagged
+        FROM per
     """
 
 

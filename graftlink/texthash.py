@@ -79,6 +79,20 @@ def _fast_hash(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(PRIME))
 
 
+def window_hashes(col: Column, w: int, hash_mode: str = "portable") -> Column:
+    """POSITIONAL w-token sliding-window hashes -> array<long>, one
+    entry per start position (shingle_hashes minus the distinct: span
+    coverage needs every position counted). Same short/empty-doc
+    conventions as shingle_hashes."""
+    hfn = poly_hash if hash_mode == "portable" else _fast_hash
+    toks = tokens(col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    return F.transform(
+        starts, lambda i: hfn(F.concat_ws(" ", F.slice(toks, i, w)))
+    )
+
+
 def shingle_hashes(col: Column, w: int = 3, hash_mode: str = "portable") -> Column:
     """Distinct hashed w-token shingles -> array<long> (the MinHash
     input set). Documents shorter than w tokens contribute their whole
@@ -171,6 +185,18 @@ def shingle_hashes_sql(expr: str, w: int = 3) -> str:
     return (
         f"(SELECT list_distinct([{shingle} "
         f"  for i in range(1, greatest(len(toks) - {w} + 1, 1) + 1)]) "
+        f" FROM (SELECT {tokens_sql(expr)} AS toks))"
+    )
+
+
+def window_hashes_sql(expr: str, w: int) -> str:
+    """DuckDB twin of window_hashes (portable mode)."""
+    shingle = poly_hash_sql(
+        f"coalesce(array_to_string(toks[i : i + {w - 1}], ' '), '')"
+    )
+    return (
+        f"(SELECT [{shingle} "
+        f"  for i in range(1, greatest(len(toks) - {w} + 1, 1) + 1)] "
         f" FROM (SELECT {tokens_sql(expr)} AS toks))"
     )
 

@@ -226,3 +226,105 @@ def test_curate_near_dup_cluster_keeper(spark):
     # exactly one survivor of the {1,2,5} cluster: the min id
     assert out & {1, 2, 5} == {1}, out
     assert 7 in out
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (cross-document w-token window duplication)
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark, docs):
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_span_dedup_hand_computed(spark):
+    from graftlink.corpus import span_dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different text with no shared spans at all here"),
+        (2, "the quick brown fox jumps over a sleeping cat today"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    got = {
+        r["id"]: (r["n_windows"], r["dup_windows"], r["flagged"])
+        for r in span_dedup(_span_docs(spark, docs), w=5, threshold=0.2).collect()
+    }
+    # docs 0 and 2 share the 5-token windows starting at "the" and
+    # "quick" ("the quick brown fox jumps", "quick brown fox jumps over")
+    assert got[0] == (8, 2, True)
+    assert got[2] == (6, 2, True)
+    assert got[1][1] == 0 and not got[1][2]
+    # short doc => single whole-sequence window; empty doc => 1 window
+    assert got[3] == (1, 0, False)
+    assert got[4] == (1, 0, False)
+
+
+def test_span_dedup_intra_doc_repeats_not_counted(spark):
+    from graftlink.corpus import span_dedup
+
+    docs = [
+        (0, "a b c d a b c d a b c d"),  # heavy INTRA-doc repetition
+        (1, "x y z w v u t s r q p o"),
+    ]
+    got = {
+        r["id"]: r["dup_windows"]
+        for r in span_dedup(_span_docs(spark, docs), w=4).collect()
+    }
+    assert got[0] == 0  # windows repeat only within doc 0
+    assert got[1] == 0
+
+
+def test_span_dedup_duckdb_twin(spark):
+    import duckdb
+
+    from graftlink.corpus import span_dedup, span_dedup_sql
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "gamma delta epsilon zeta eta unrelated tail words"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "solo words only in this document nowhere else"),
+    ]
+    sp = sorted(
+        map(tuple, span_dedup(_span_docs(spark, docs), w=4, threshold=0.5).collect())
+    )
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    tw = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                span_dedup_sql(
+                    f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)",
+                    w=4,
+                    threshold=0.5,
+                )
+            )
+            .fetchall(),
+        )
+    )
+    assert sp == tw
+    # the exact-dup pair is fully flagged
+    flagged = {r[0]: r[4] for r in sp}
+    assert flagged[0] and flagged[2] and not flagged[3]
+
+
+def test_span_dedup_fast_mode_same_flags(spark):
+    from graftlink.corpus import span_dedup
+
+    docs = [
+        (0, "one two three four five six seven eight"),
+        (1, "one two three four five completely different ending"),
+        (2, "nothing shared with anybody in this row"),
+    ]
+    a = {
+        r["id"]: (r["n_windows"], r["dup_windows"])
+        for r in span_dedup(_span_docs(spark, docs), w=5).collect()
+    }
+    b = {
+        r["id"]: (r["n_windows"], r["dup_windows"])
+        for r in span_dedup(_span_docs(spark, docs), w=5, hash_mode="fast").collect()
+    }
+    assert a == b
