@@ -1785,6 +1785,25 @@ def _q_span_dedup(spark, sf_dir):
     return span_dedup(read_documents(spark, sf_dir), w=8, threshold=0.2)
 
 
+def _q_lpa_seeded(spark, sf_dir):
+    """igraph community_label_propagation(initial=, fixed=): seeds at
+    id%50==0 carry label id%100 and are FROZEN; everyone else starts
+    from their own id. Fixed iteration budget shared with the twin."""
+    from graftlink.iterative_sql import LPA_ITERS
+    from graftlink.lpa import label_propagation
+    from graftlink.vertices import vertex_universe
+
+    e = clean_edges(doc_edges(spark, sf_dir))
+    verts = vertex_universe(e)
+    initial = verts.where(F.col("id") % 50 == 0).select(
+        "id", (F.col("id") % 100).alias("label")
+    )
+    return label_propagation(
+        e, initial=initial, fixed=initial.select("id"),
+        checkpoint_mode="local", max_iter=LPA_ITERS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1826,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank_top10": _q_host_pagerank,
         "voronoi_communities": _q_voronoi,
         "span_dedup_docs": _q_span_dedup,
+        "lpa_seeded_communities": _q_lpa_seeded,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
@@ -1839,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compare_partitions": _q_compare_partitions,
         "rewire_null_model": _q_rewire,
         "pack_chunks": _q_pack_chunks,
-        "articulation_points": _q_articulation_points,
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
         "girth": _q_girth,
@@ -1905,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "center_periphery": _q_center_periphery,
         "bfs_parents": _q_bfs_parents,
         "modularity_lpa": _q_modularity_lpa,
+        "articulation_points": _q_articulation_points,
         "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
         "bm25_top20": _q_bm25_top20,
@@ -2051,6 +2071,11 @@ def oracle_sql() -> dict[str, str]:
         "voronoi_communities": _voronoi.voronoi_sql(_CLEAN, rounds=60),
         "span_dedup_docs": _corpus.span_dedup_sql(
             "SELECT doc_id, text FROM documents", w=8, threshold=0.2
+        ),
+        "lpa_seeded_communities": _isql.lpa_sql(
+            _CLEAN,
+            init_label="CASE WHEN id % 50 = 0 THEN id % 100 ELSE id END",
+            fixed_pred="? % 50 = 0",
         ),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),

@@ -823,7 +823,13 @@ def k_core_sql(clean: str, k: int, rounds: int = CORE_ROUNDS) -> str:
 # ---------------------------------------------------------------------------
 
 
-def lpa_sql(clean: str, iters: int = LPA_ITERS, weighted: bool = False) -> str:
+def lpa_sql(
+    clean: str,
+    iters: int = LPA_ITERS,
+    weighted: bool = False,
+    init_label: str = "id",
+    fixed_pred: str | None = None,
+) -> str:
     """Deterministic synchronous LPA (graftlink.lpa spec): votes =
     neighbor labels over the UNION ALL multiset (reciprocal directed
     edges vote twice) + own label once; winner = max count, ties ->
@@ -833,7 +839,11 @@ def lpa_sql(clean: str, iters: int = LPA_ITERS, weighted: bool = False) -> str:
     carries its edge weight (computed on the ORIGINAL orientation,
     carried unchanged on the reversed copy — matching pack_adjacency's
     undirected union), self-vote weight 1.0. Integer-valued weights
-    keep sums exact in doubles."""
+    keep sums exact in doubles.
+
+    init_label / fixed_pred mirror label_propagation(initial=,
+    fixed=): init_label is a SQL expression over `id` for round-0
+    labels; fixed_pred (over `r.id`) freezes matching vertices."""
     w_expr = "CAST(src % 7 + dst % 3 + 1 AS DOUBLE)"
     if weighted:
         nb = (
@@ -851,14 +861,21 @@ def lpa_sql(clean: str, iters: int = LPA_ITERS, weighted: bool = False) -> str:
         nbr_vote = "SELECT n.v AS id, st.label FROM lab st JOIN nb n ON n.u = st.id"
         self_vote = "SELECT st2.id, st2.label FROM lab st2"
         agg = "count(*)"
+    _init_label = init_label
+    _upd_label = (
+        f"CASE WHEN {fixed_pred.replace('?', 'r.id')} THEN r.label "
+        "ELSE w.new_label END"
+        if fixed_pred
+        else "w.new_label"
+    )
     return f"""
         WITH RECURSIVE
         {_prelude(clean)},
         nb AS ({nb}),
         lab(round, id, label) AS (
-            SELECT 0, id, id FROM verts
+            SELECT 0, id, {_init_label} FROM verts
             UNION ALL
-            SELECT r.round + 1, r.id, w.new_label
+            SELECT r.round + 1, r.id, {_upd_label}
             FROM lab r
             JOIN (
                 SELECT id, label AS new_label FROM (

@@ -48,6 +48,8 @@ def label_propagation(
     stats: dict | None = None,
     scatter_engine: str = "jvm",
     weight_col: str | None = None,
+    initial: DataFrame | None = None,
+    fixed: DataFrame | None = None,
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community(long)].
 
@@ -55,7 +57,15 @@ def label_propagation(
     vote counts its edge weight instead of 1; the self-vote keeps
     weight 1.0 so the weighted spec degrades to the unweighted one at
     all-ones weights. With integer-valued weights the vote sums are
-    exact in doubles, so the DuckDB twin matches bit-for-bit."""
+    exact in doubles, so the DuckDB twin matches bit-for-bit.
+
+    initial / fixed: igraph `community_label_propagation(initial=,
+    fixed=)` semi-supervised surface. initial is DF[id, label] —
+    vertices absent from it start from their own id (our
+    deterministic restatement of igraph's "negative = unlabeled"
+    convention); fixed is DF[id] — those vertices never change label
+    (they still VOTE every round). Seeds that are not fixed may be
+    overrun by their neighborhood's majority, exactly as in igraph."""
     spark = edges.sparkSession
     b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     verts = (vertices or vertex_universe(edges)).select("id")
@@ -75,8 +85,23 @@ def label_propagation(
             start_it = found[0] + 1
             state = mgr.load(found[0], "id")
     if state is None:
+        init = verts.select("id", F.col("id").alias("label"))
+        if initial is not None:
+            init = (
+                verts.join(
+                    initial.select("id", F.col("label").alias("_il")), "id", "left"
+                )
+                .select("id", F.coalesce("_il", F.col("id")).alias("label"))
+            )
         # lazy repartition keeps hash(id, b) metadata for superstep 0
-        state = verts.select("id", F.col("id").alias("label")).repartition(b, "id")
+        state = init.repartition(b, "id")
+    fixed_marker = None
+    if fixed is not None:
+        fixed_marker = (
+            fixed.select("id", F.lit(True).alias("_fixed"))
+            .repartition(b, "id")
+            .persist()
+        )
 
     iterations = 0
     adj_cols = ["src", "neighbors"] + (["wnorm"] if weight_col else [])
@@ -115,14 +140,19 @@ def label_propagation(
         winners = votes.groupBy("dst").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_m")
         ).select("dst", (-F.col("_m._nl")).alias("new_label"))
-        new_state = (
-            state.join(
-                winners.hint("shuffle_hash"), state["id"] == winners["dst"], "left"
+        upd = state.join(
+            winners.hint("shuffle_hash"), state["id"] == winners["dst"], "left"
+        )
+        if fixed_marker is not None:
+            upd = upd.join(fixed_marker.hint("shuffle_hash"), "id", "left")
+            keep = F.coalesce("_fixed", F.lit(False))
+            next_label = F.when(keep, F.col("label")).otherwise(
+                F.coalesce("new_label", F.col("label"))
             )
-            .select(
-                "id", F.coalesce("new_label", F.col("label")).alias("label"),
-                F.col("label").alias("prev_label"),
-            )
+        else:
+            next_label = F.coalesce("new_label", F.col("label"))
+        new_state = upd.select(
+            "id", next_label.alias("label"), F.col("label").alias("prev_label")
         )
         new_state, stats_row = mgr.save(
             new_state, it, "id", counters={"iteration": it},
@@ -137,6 +167,8 @@ def label_propagation(
             break
     labels = mgr.finalize(state.select("id", "label"))
     adj.unpersist()
+    if fixed_marker is not None:
+        fixed_marker.unpersist()
     if stats is not None:
         stats["iterations"] = iterations
     if renumber:

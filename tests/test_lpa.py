@@ -3,6 +3,8 @@ fixed-point validity, exact on unambiguous fixtures."""
 
 from collections import Counter, defaultdict
 
+from pyspark.sql import functions as F
+
 from graftlink.lpa import label_propagation
 
 from tests.conftest import edges_df
@@ -109,3 +111,111 @@ def test_weighted_votes_change_outcome_deterministically(spark):
     # 20-round state leaves 3 in its own community — pin it exactly
     assert wtd == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 2}
     assert unw == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised surface: initial= / fixed=
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_fixed_labels_never_change(spark):
+    from graftlink.lpa import label_propagation
+
+    # path graph 0-1-2-3-4-5, ends seeded+fixed with NEGATIVE labels
+    # (the spec's ties-to-min means only labels below the id space
+    # propagate through unanimous ties): the two seed labels race
+    # toward the middle and the fixpoint splits the path in half
+    # (hand-traced: r1 [-2,-2,1,2,-1,-1], r2 [-2,-2,-2,-1,-1,-1],
+    # r3 stable)
+    e = edges_df(spark, [(i, i + 1) for i in range(5)])
+    initial = spark.createDataFrame([(0, -2), (5, -1)], "id long, label long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(
+            e, initial=initial, fixed=initial.select("id"),
+            checkpoint_mode="local", renumber=False,
+        ).collect()
+    }
+    assert got[0] == -2 and got[5] == -1
+    assert (got[1], got[2], got[3], got[4]) == (-2, -2, -1, -1)
+
+
+def test_lpa_unfixed_seed_can_be_overrun(spark):
+    from graftlink.lpa import label_propagation
+
+    # vertex 0 seeded with a foreign label but NOT fixed, embedded in
+    # a clique: the clique majority overruns the seed
+    clique = [(i, j) for i in range(4) for j in range(4) if i < j]
+    e = edges_df(spark, clique)
+    initial = spark.createDataFrame([(0, 999)], "id long, label long")
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(
+            e, initial=initial, checkpoint_mode="local", renumber=False,
+        ).collect()
+    }
+    assert got[0] != 999
+
+
+def test_lpa_seeded_defaults_equal_plain(spark):
+    from graftlink.lpa import label_propagation
+    from tests.oracles import er_edges
+
+    e = edges_df(spark, er_edges(40, 0.12, 9))
+    plain = sorted(
+        map(tuple, label_propagation(e, checkpoint_mode="local").collect())
+    )
+    noop = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e,
+                initial=spark.createDataFrame([], "id long, label long"),
+                fixed=spark.createDataFrame([], "id long"),
+                checkpoint_mode="local",
+            ).collect(),
+        )
+    )
+    assert plain == noop
+
+
+def test_lpa_seeded_duckdb_twin(spark):
+    import duckdb
+
+    from graftlink.iterative_sql import lpa_sql
+    from graftlink.lpa import label_propagation
+    from graftlink.vertices import vertex_universe
+    from tests.oracles import er_edges
+
+    pairs = er_edges(45, 0.1, 4)
+    e = edges_df(spark, pairs)
+    verts = vertex_universe(e)
+    initial = verts.where(F.col("id") % 10 == 0).select(
+        "id", (F.col("id") % 20).alias("label")
+    )
+    sp = sorted(
+        map(
+            tuple,
+            label_propagation(
+                e, initial=initial, fixed=initial.select("id"),
+                checkpoint_mode="local", max_iter=20,
+            ).collect(),
+        )
+    )
+    vals = ",".join(f"({a},{b})" for a, b in pairs)
+    clean = f"SELECT * FROM (VALUES {vals}) AS t(src,dst)"
+    tw = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                lpa_sql(
+                    clean,
+                    init_label="CASE WHEN id % 10 = 0 THEN id % 20 ELSE id END",
+                    fixed_pred="? % 10 = 0",
+                )
+            )
+            .fetchall(),
+        )
+    )
+    assert sp == tw
