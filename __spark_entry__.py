@@ -1804,6 +1804,15 @@ def _q_lpa_seeded(spark, sf_dir):
     )
 
 
+def _q_rebalance(spark, sf_dir):
+    """Deterministic mixture rebalancing: target weight (i%4)+1 per
+    srci — exact floor(C*t) proportions, scarcest source kept whole."""
+    from graftlink.corpus import rebalance_sources
+
+    targets = {f"src{i}": float((i % 4) + 1) for i in range(20)}
+    return rebalance_sources(read_documents(spark, sf_dir), targets)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1846,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_communities": _q_voronoi,
         "span_dedup_docs": _q_span_dedup,
         "lpa_seeded_communities": _q_lpa_seeded,
+        "rebalanced_sources": _q_rebalance,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
@@ -1879,7 +1889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_negative": _q_sssp_negative,
         "widest_paths": _q_widest_paths,
         "graph_predicates": _q_graph_predicates,
-        "stratified_sample": _q_stratified_sample,
         "subcomponent_0_all": _q_subcomponent,
         "tfidf_top3": _q_tfidf_top3,
         "edge_betweenness": _q_edge_betweenness,
@@ -1925,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_parents": _q_bfs_parents,
         "modularity_lpa": _q_modularity_lpa,
         "articulation_points": _q_articulation_points,
+        "stratified_sample": _q_stratified_sample,
         "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
         "bm25_top20": _q_bm25_top20,
@@ -2076,6 +2086,10 @@ def oracle_sql() -> dict[str, str]:
             _CLEAN,
             init_label="CASE WHEN id % 50 = 0 THEN id % 100 ELSE id END",
             fixed_pred="? % 50 = 0",
+        ),
+        "rebalanced_sources": _corpus.rebalance_sources_sql(
+            "SELECT * FROM documents",
+            {f"src{i}": float((i % 4) + 1) for i in range(20)},
         ),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),

@@ -38,6 +38,8 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -375,6 +377,112 @@ def curate_sql(
         ),
         s4 AS MATERIALIZED ({capped})
         SELECT doc_id, source, split FROM ({split})
+    """
+
+
+def rebalance_sources(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Deterministic downsample-only mixture rebalancing: keep
+    floor(C * t_s) docs of each source where C = min_s(n_s / t_s), so
+    the output hits the target proportions EXACTLY (up to floor)
+    while retaining 100% of the scarcest source — the standard
+    feasible-mixture rule every LLM data recipe applies before
+    up-weighting at training time (e.g. the Pile / LLaMA mixture
+    tables). Sources absent from `targets` (or with weight 0) are
+    dropped.
+
+    Membership is a total-order prefix per source under (portable
+    bucket hash of id, id) — the per_domain_cap discipline — so the
+    kept set is a pure function of (corpus, targets, seed): stable
+    under retries, partitionings, and engines. The per-source counts
+    are one tiny aggregate (#sources rows, collected); caps broadcast
+    back; selection is the salted two-phase top-k, never one reducer
+    per hot source.
+    """
+    from graftlink.sampling import _bucket_col
+
+    if not targets or all(w <= 0 for w in targets.values()):
+        raise ValueError("targets must contain at least one positive weight")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    active = {s: w for s, w in targets.items() if w > 0 and counts.get(s, 0) > 0}
+    if not active:
+        raise ValueError("no target source present in the data")
+    c_scale = min(counts[s] / w for s, w in active.items())
+    caps = {s: int(math.floor(c_scale * w)) for s, w in active.items()}
+    spark = df.sparkSession
+    caps_df = spark.createDataFrame(
+        [(s, c) for s, c in sorted(caps.items())], f"{source_col} string, _cap long"
+    )
+    b = _bucket_col(F.col(id_col), seed, hash_mode)
+    order = [b.asc(), F.col(id_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))
+    capped = df.join(F.broadcast(caps_df), source_col)
+    local = Window.partitionBy(F.col(source_col), salt).orderBy(*order)
+    survivors = (
+        capped.withColumn("_rn", F.row_number().over(local))
+        .where(F.col("_rn") <= F.col("_cap"))
+        .drop("_rn")
+    )
+    final = Window.partitionBy(F.col(source_col)).orderBy(*order)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= F.col("_cap"))
+        .select(*df.columns)  # the caps join moved source_col first
+    )
+
+
+def rebalance_sources_sql(
+    docs_sql: str,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> str:
+    """DuckDB twin: caps computed in-SQL with the identical float
+    expression (n/w doubles, min, floor) so the boundary rounds the
+    same way in both engines."""
+    from graftlink.sampling import _bucket_sql
+
+    vals = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(targets.items()) if w > 0
+    )
+    b = _bucket_sql(id_col, seed)
+    return f"""
+        WITH src AS MATERIALIZED ({docs_sql}),
+        t({source_col}, w) AS (VALUES {vals}),
+        cnt AS (
+            SELECT {source_col}, count(*) AS n FROM src GROUP BY {source_col}
+        ),
+        cmin AS (
+            SELECT min(cnt.n / t.w) AS c
+            FROM cnt JOIN t USING ({source_col})
+        ),
+        caps AS (
+            SELECT t.{source_col},
+                   CAST(floor((SELECT c FROM cmin) * t.w) AS BIGINT) AS cap
+            FROM t JOIN cnt USING ({source_col})
+        ),
+        ranked AS (
+            SELECT src.*, row_number() OVER (
+                PARTITION BY {source_col}
+                ORDER BY {b}, {id_col}
+            ) AS _rn
+            FROM src
+        )
+        SELECT ranked.* EXCLUDE (_rn)
+        FROM ranked JOIN caps USING ({source_col})
+        WHERE _rn <= caps.cap
     """
 
 

@@ -328,3 +328,83 @@ def test_span_dedup_fast_mode_same_flags(spark):
         for r in span_dedup(_span_docs(spark, docs), w=5, hash_mode="fast").collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# rebalance_sources (deterministic target-mixture downsampling)
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_exact_proportions(spark):
+    from graftlink.corpus import rebalance_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]  # 100 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 1.0, "s1": 2.0, "s2": 4.0}
+    # C = min(100/1, 100/2, 100/4) = 25 -> caps 25 / 50 / 100
+    got = rebalance_sources(df, targets).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"s0": 25, "s1": 50, "s2": 100}
+
+
+def test_rebalance_scarcest_source_kept_whole(spark):
+    from graftlink.corpus import rebalance_sources
+
+    rows = [(i, "rare" if i < 10 else "common") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = (
+        rebalance_sources(df, {"rare": 1.0, "common": 1.0})
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    # equal targets -> keep ALL 10 rare docs and downsample common to 10
+    assert {r["source"]: r["count"] for r in got} == {"rare": 10, "common": 10}
+
+
+def test_rebalance_drops_untargeted_sources(spark):
+    from graftlink.corpus import rebalance_sources
+
+    rows = [(i, f"s{i % 2}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = rebalance_sources(df, {"s0": 1.0}).select("source").distinct().collect()
+    assert [r["source"] for r in got] == ["s0"]
+
+
+def test_rebalance_deterministic_and_subset_stable(spark):
+    from graftlink.corpus import rebalance_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 1.0, "s1": 1.0, "s2": 2.0}
+    a = sorted(r["doc_id"] for r in rebalance_sources(df, targets).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in rebalance_sources(df.repartition(7), targets).collect()
+    )
+    assert a == b
+
+
+def test_rebalance_duckdb_twin(spark):
+    import duckdb
+
+    from graftlink.corpus import rebalance_sources, rebalance_sources_sql
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"s0": 1.0, "s1": 2.0, "s2": 3.0, "s3": 5.0}
+    sp = sorted(map(tuple, rebalance_sources(df, targets).collect()))
+    # VALUES literals are INT32 in DuckDB; the bucket hash needs int64
+    vals = ",".join(f"(CAST({i} AS BIGINT), '{s}')" for i, s in rows)
+    tw = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                rebalance_sources_sql(
+                    f"SELECT * FROM (VALUES {vals}) AS t(doc_id, source)", targets
+                )
+            )
+            .fetchall(),
+        )
+    )
+    assert sp == tw
