@@ -380,6 +380,41 @@ def main():
     log(f"hyperball_anf_6it: NF(6)={nf_rows[-1]['nf']:.0f} "
         f"{queries['hyperball_anf_6it']}s")
 
+    # Voronoi communities (r4 session 7): density pass (one triangle
+    # sweep + two degree joins) + frontier SSSP assignment — rounds =
+    # weighted hop diameter (4 on this small-world graph), all-integer
+    # state.
+    from graftlink.voronoi import voronoi_communities
+
+    t0 = time.monotonic()
+    vor_stats: dict = {}
+    n_vor = (
+        voronoi_communities(edges, stats=vor_stats)
+        .agg(F.count_distinct("community")).collect()[0][0]
+    )
+    queries["voronoi"] = round(time.monotonic() - t0, 2)
+    log(f"voronoi: {n_vor} cells, {vor_stats.get('rounds')} rounds "
+        f"{queries['voronoi']}s")
+
+    # Host-graph rollup + host PageRank (r4 session 7, cc-webgraph
+    # shape): the row measures url synthesis + regexp host extraction
+    # + single-exchange contraction over ALL 2e6 edges, then the
+    # weighted PageRank on the tiny contracted graph — the exact
+    # 100 TB pipeline split (rollup cost dominates, iterative cost
+    # collapses with the vertex count).
+    from graftlink.hostgraph import _fixture_url, host_pagerank
+
+    url_edges = edges.select(
+        _fixture_url(F.col("src")).alias("src_url"),
+        _fixture_url(F.col("dst")).alias("dst_url"),
+    )
+    t0 = time.monotonic()
+    n_hosts = host_pagerank(
+        url_edges, max_iter=20, tol=0.0, checkpoint_mode="local"
+    ).count()
+    queries["host_rollup_pagerank"] = round(time.monotonic() - t0, 2)
+    log(f"host_rollup_pagerank: {n_hosts} hosts {queries['host_rollup_pagerank']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -399,6 +434,19 @@ def main():
     queries["minhash_near_dup"] = round(time.monotonic() - t0, 2)
     log(f"minhash_near_dup: {n_pairs} pairs over {n_docs} docs "
         f"{queries['minhash_near_dup']}s")
+
+    # q7b: cross-document span dedup (r4 session 7, fast hash path):
+    # positional window explode + two hash-keyed partial-agg groupBys
+    # — text never shuffles.
+    from graftlink.corpus import span_dedup
+
+    t0 = time.monotonic()
+    n_flagged = (
+        span_dedup(docs, w=8, threshold=0.2, hash_mode="fast")
+        .where(F.col("flagged")).count()
+    )
+    queries["span_dedup"] = round(time.monotonic() - t0, 2)
+    log(f"span_dedup: {n_flagged} flagged {queries['span_dedup']}s")
 
     # q8: Arrow-matmul cosine top-k over embeddings
     from graftlink.similarity import cosine_topk_arrow
@@ -493,8 +541,17 @@ def main():
             f"| HyperBall ANF (6 supersteps, 16 registers) | "
             f"{queries['hyperball_anf_6it']} s (NF(6)={nf_rows[-1]['nf']:,.0f}) "
             f"| local[{CPUS}] |\n"
+            f"| Voronoi communities (density + SSSP assignment) | "
+            f"{queries['voronoi']} s ({n_vor:,} cells, "
+            f"{vor_stats.get('rounds')} rounds) | local[{CPUS}] |\n"
+            f"| host rollup + host PageRank (cc-webgraph shape) | "
+            f"{queries['host_rollup_pagerank']} s ({n_hosts} hosts from "
+            f"{N_EDGES:,} url edges) | local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
+            f"| cross-doc span dedup (w=8 windows) | {queries['span_dedup']} s "
+            f"({n_flagged} flagged) | documents @ {SF_DIR}, xxhash64 path, "
+            f"local[{CPUS}] |\n"
             f"| cosine top-k (Arrow matmul) | {queries['cosine_topk_arrow']} s "
             f"| 8 queries, embeddings @ {SF_DIR}, local[{CPUS}] |\n\n"
             "## Scaling (N vs 4N parallelism — BASELINE.md row 3)\n\n"
