@@ -37,6 +37,7 @@ from graftlink import bowtie as _bowtie
 from graftlink import compare as _compare
 from graftlink import hostgraph as _hostgraph
 from graftlink import voronoi as _voronoi
+from graftlink import ivf as _ivf
 from graftlink import knn as _knn
 from graftlink import pii as _pii
 from graftlink import sessions as _sessions
@@ -1813,6 +1814,28 @@ def _q_rebalance(spark, sf_dir):
     return rebalance_sources(read_documents(spark, sf_dir), targets)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table — every
+    float op an ordered fold, so the assignment value-hash-matches the
+    unrolled DuckDB twin (k-means is normally the poster child of
+    nondeterministic float reduction)."""
+    from graftlink.ivf import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_clusters(emb, k=8, iters=3)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + nprobe=2 cluster-probed
+    exact cosine (SemDeDup/FAISS-IVF recipe, deterministic spec)."""
+    from graftlink.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r[0] for r in emb.where(F.col("vec_id") % 61 == 0)
+            .select("vec_id").collect()]
+    return ivf_topk(emb, qids, k=5, nprobe=2, km_k=8, iters=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1856,13 +1879,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": _q_span_dedup,
         "lpa_seeded_communities": _q_lpa_seeded,
         "rebalanced_sources": _q_rebalance,
+        "kmeans_clusters": _q_kmeans,
+        "ivf_topk": _q_ivf_topk,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "knn_graph_5": _q_knn_graph,
         "pii_signals": _q_pii_signals,
         "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
-        "weighted_random_walks": _q_weighted_walks,
         "windowed_event_counts": _q_windowed_event_counts,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
@@ -1871,7 +1895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
-        "girth": _q_girth,
         "assortativity_values": _q_assortativity_values,
         "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
@@ -1935,6 +1958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "articulation_points": _q_articulation_points,
         "stratified_sample": _q_stratified_sample,
+        "girth": _q_girth,
+        "weighted_random_walks": _q_weighted_walks,
         "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
         "bm25_top20": _q_bm25_top20,
@@ -2091,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM documents",
             {f"src{i}": float((i % 4) + 1) for i in range(20)},
         ),
+        "kmeans_clusters": _ivf.kmeans_sql(k=8, iters=3),
+        "ivf_topk": _ivf.ivf_topk_sql(k=5, nprobe=2, km_k=8, iters=3),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""
