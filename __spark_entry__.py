@@ -1836,6 +1836,14 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qids, k=5, nprobe=2, km_k=8, iters=3)
 
 
+def _q_host_harmonic(spark, sf_dir):
+    """Harmonic centrality of the host graph — the other headline
+    cc-webgraph per-host rank (published next to host PageRank)."""
+    from graftlink.hostgraph import doc_url_edges, host_harmonic
+
+    return host_harmonic(doc_url_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1875,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_graph_edges": _q_domain_graph_edges,
         "host_link_stats": _q_host_link_stats,
         "host_pagerank_top10": _q_host_pagerank,
+        "host_harmonic": _q_host_harmonic,
         "voronoi_communities": _q_voronoi,
         "span_dedup_docs": _q_span_dedup,
         "lpa_seeded_communities": _q_lpa_seeded,
@@ -1896,7 +1905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_size_2": _q_neighborhood_size_2,
         "motif_census_4": _q_motif_census_4,
         "assortativity_values": _q_assortativity_values,
-        "line_dedup": _q_line_dedup,
         "eccentricity_all": _q_eccentricity_all,
         "shortest_path_0_42": _q_shortest_path,
         "bridges": _q_bridges,
@@ -1958,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "articulation_points": _q_articulation_points,
         "stratified_sample": _q_stratified_sample,
+        "line_dedup": _q_line_dedup,
         "girth": _q_girth,
         "weighted_random_walks": _q_weighted_walks,
         "harmonic_all": _q_harmonic_all,
@@ -2103,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank_top10": _hostgraph.host_pagerank_sql(
             _URLEDGES, iters=_isql.PR_ITERS
         ),
+        "host_harmonic": _hostgraph.host_harmonic_sql(_URLEDGES),
         "voronoi_communities": _voronoi.voronoi_sql(_CLEAN, rounds=60),
         "span_dedup_docs": _corpus.span_dedup_sql(
             "SELECT doc_id, text FROM documents", w=8, threshold=0.2

@@ -149,3 +149,19 @@ def test_rollup_deterministic_across_partitioning(spark):
     one = host_edges(ue.repartition(1)).collect()
     many = host_edges(ue.repartition(7)).collect()
     assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_host_harmonic_matches_networkx(spark):
+    import networkx as nx
+
+    from graftlink.hostgraph import host_edges, host_harmonic
+
+    ue = _url_edges(spark, FIXTURE)
+    got = {r["host"]: r["harmonic"] for r in host_harmonic(ue).collect()}
+    g = nx.Graph()
+    for r in host_edges(ue).collect():
+        g.add_edge(r["src_host"], r["dst_host"])
+    want = nx.harmonic_centrality(g)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h] == pytest.approx(want[h], abs=1e-9)
