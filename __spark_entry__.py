@@ -1844,6 +1844,19 @@ def _q_host_harmonic(spark, sf_dir):
     return host_harmonic(doc_url_edges(spark, sf_dir))
 
 
+def _q_nb_quality(spark, sf_dir):
+    """Naive Bayes quality classifier trained on the corpus's own
+    lang=='en' weak labels (the GPT-3/CCNet learned-filter seam with
+    the fasttext linear model swapped for its closed-form NB
+    stand-in)."""
+    from graftlink.relevance import nb_quality
+
+    d = read_documents(spark, sf_dir).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    return nb_quality(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1890,9 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalanced_sources": _q_rebalance,
         "kmeans_clusters": _q_kmeans,
         "ivf_topk": _q_ivf_topk,
+        "nb_quality_scores": _q_nb_quality,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
-        "knn_graph_5": _q_knn_graph,
         "pii_signals": _q_pii_signals,
         "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
@@ -1966,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "articulation_points": _q_articulation_points,
         "stratified_sample": _q_stratified_sample,
+        "knn_graph_5": _q_knn_graph,
         "line_dedup": _q_line_dedup,
         "girth": _q_girth,
         "weighted_random_walks": _q_weighted_walks,
@@ -2128,6 +2142,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmeans_clusters": _ivf.kmeans_sql(k=8, iters=3),
         "ivf_topk": _ivf.ivf_topk_sql(k=5, nprobe=2, km_k=8, iters=3),
+        "nb_quality_scores": _relevance.nb_quality_sql(
+            "SELECT doc_id, text, lang = 'en' AS label FROM documents"
+        ),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""

@@ -336,3 +336,141 @@ def unigram_logprob_sql(source_sql: str) -> str:
                round(coalesce(p.s / p.n_tokens, 0.0), 6) AS logprob_per_token
         FROM ({source_sql}) d LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+def nb_quality(
+    docs: DataFrame,
+    label_col: str = "label",
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """DF[id, n_tokens, nb_score, predicted] — multinomial Naive
+    Bayes log-likelihood-ratio quality score, trained on the corpus's
+    own boolean `label_col` and applied to every document.
+
+    This is the learned-quality-filter seam of the published corpus
+    recipes (GPT-3/CCNet train a linear classifier with curated
+    positives; the fasttext model there is a bag-of-ngrams linear
+    scorer — multinomial NB is its closed-form, deterministic
+    stand-in, trainable with two aggregations and no optimizer):
+
+        llr(t) = ln((c_pos(t)+1)/(T_pos+V)) - ln((c_neg(t)+1)/(T_neg+V))
+        score(d) = ln(n_pos/n_neg) + sum_t tf_d(t) * llr(t)
+
+    add-one smoothing over the JOINT vocabulary; both classes must be
+    non-empty. The per-doc sum folds ORDERED by term (the BM25/unigram
+    fp discipline) and the score is rounded to 6dp, so results
+    value-hash-match the DuckDB twin.
+
+    Scale shape: training is two partial-agg groupBys over (class,
+    term) + two scalars; the llr table is vocabulary-sized and
+    broadcasts; scoring is one tf join + one per-doc fold. Nothing
+    iterative, nothing driver-side except the two scalars.
+    """
+    lab = docs.select(
+        F.col(doc_id).alias("doc_id"), F.col(label_col).cast("boolean").alias("_y")
+    )
+    n_pos, n_neg = (
+        lab.agg(
+            F.sum(F.col("_y").cast("long")),
+            F.sum((~F.col("_y")).cast("long")),
+        ).collect()[0]
+    )
+    if not n_pos or not n_neg:
+        raise ValueError("nb_quality needs both classes non-empty")
+    tf = term_frequencies(docs, doc_id, text)
+    ctf = tf.join(lab, "doc_id").groupBy("term").agg(
+        F.sum(F.when(F.col("_y"), F.col("tf")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("_y"), F.col("tf")).otherwise(0)).alias("cn"),
+    )
+    tot = ctf.agg(
+        F.sum("cp").cast("double").alias("tp"),
+        F.sum("cn").cast("double").alias("tn"),
+        F.count("*").cast("double").alias("v"),
+    ).collect()[0]
+    dp, dn = float(tot["tp"]) + float(tot["v"]), float(tot["tn"]) + float(tot["v"])
+    llr = ctf.select(
+        "term",
+        (
+            F.log((F.col("cp") + 1.0) / F.lit(dp))
+            - F.log((F.col("cn") + 1.0) / F.lit(dn))
+        ).alias("llr"),
+    )
+    import math as _math
+
+    prior = _math.log(float(n_pos) / float(n_neg))
+    contrib = tf.join(F.broadcast(llr), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("llr")).alias("c"), "tf"
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("_s"),
+    )
+    score = F.round(F.coalesce(F.col("_s"), F.lit(0.0)) + F.lit(prior), 6)
+    return (
+        docs.select(F.col(doc_id).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            score.alias("nb_score"),
+            (score > 0).alias("predicted"),
+        )
+    )
+
+
+def nb_quality_sql(source_sql: str, label_expr: str = "label") -> str:
+    """DuckDB twin — identical smoothing, prior, and ordered fold."""
+    tok = _TOK.format(src=f"({source_sql})")
+    return f"""
+        WITH
+        {tok},
+        lab AS (
+            SELECT doc_id, CAST({label_expr} AS BOOLEAN) AS y
+            FROM ({source_sql})
+        ),
+        np AS (
+            SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE) AS p,
+                   CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE) AS n
+            FROM lab
+        ),
+        ctf AS (
+            SELECT tf.term,
+                   sum(CASE WHEN l.y THEN tf.tf ELSE 0 END) AS cp,
+                   sum(CASE WHEN l.y THEN 0 ELSE tf.tf END) AS cn
+            FROM tf JOIN lab l ON l.doc_id = tf.doc_id
+            GROUP BY tf.term
+        ),
+        tot AS (
+            SELECT CAST(sum(cp) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS dp,
+                   CAST(sum(cn) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS dn
+            FROM ctf
+        ),
+        llr AS (
+            SELECT term,
+                   ln((cp + 1.0) / (SELECT dp FROM tot))
+                   - ln((cn + 1.0) / (SELECT dn FROM tot)) AS llr
+            FROM ctf
+        ),
+        per AS (
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   sum(tf.tf * l.llr ORDER BY tf.term) AS s
+            FROM tf JOIN llr l ON l.term = tf.term
+            GROUP BY tf.doc_id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(p.n_tokens, 0) AS n_tokens,
+               round(coalesce(p.s, 0.0)
+                     + ln((SELECT p FROM np) / (SELECT n FROM np)), 6)
+                 AS nb_score,
+               round(coalesce(p.s, 0.0)
+                     + ln((SELECT p FROM np) / (SELECT n FROM np)), 6) > 0
+                 AS predicted
+        FROM ({source_sql}) d
+        LEFT JOIN per p ON p.doc_id = d.doc_id
+    """

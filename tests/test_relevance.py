@@ -81,3 +81,92 @@ def test_bm25_matches_twin_and_ranks(spark):
 def test_bm25_empty_query_raises(spark):
     with pytest.raises(ValueError):
         bm25_rank(docs_df(spark), "!!!")
+
+
+# ---------------------------------------------------------------------------
+# nb_quality (multinomial Naive Bayes quality classifier)
+# ---------------------------------------------------------------------------
+
+
+def _nb_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+
+def test_nb_separates_disjoint_vocab(spark):
+    from graftlink.relevance import nb_quality
+
+    rows = [
+        (0, "clean prose sentence words", True),
+        (1, "prose sentence reads well", True),
+        (2, "spam spam buy pills now", False),
+        (3, "buy now pills spam offer", False),
+        (4, "prose words read sentence", True),   # held-in positives
+        (5, "pills offer spam buy", False),
+    ]
+    got = {r["id"]: r["predicted"] for r in nb_quality(_nb_docs(spark, rows)).collect()}
+    assert got == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_nb_matches_hand_formula(spark):
+    import math
+    from collections import Counter
+
+    from graftlink.relevance import nb_quality
+
+    rows = [
+        (0, "a a b", True),
+        (1, "b c", True),
+        (2, "c c d", False),
+        (3, "d a", False),
+    ]
+    got = {r["id"]: r["nb_score"] for r in nb_quality(_nb_docs(spark, rows)).collect()}
+    pos = Counter("a a b b c".split())
+    neg = Counter("c c d d a".split())
+    vocab = set(pos) | set(neg)
+    tp, tn, v = sum(pos.values()), sum(neg.values()), len(vocab)
+    def llr(t):
+        return math.log((pos[t] + 1) / (tp + v)) - math.log((neg[t] + 1) / (tn + v))
+    for i, text, _ in rows:
+        toks = text.split()
+        want = round(math.log(2 / 2) + math.fsum(
+            sorted((toks.count(t) * llr(t) for t in set(toks)))
+        ), 6)
+        # fold order differs from fsum only in ulps; compare loosely
+        assert got[i] == pytest.approx(want, abs=1e-6)
+
+
+def test_nb_requires_both_classes(spark):
+    from graftlink.relevance import nb_quality
+
+    rows = [(0, "only one class", True), (1, "here too", True)]
+    with pytest.raises(ValueError):
+        nb_quality(_nb_docs(spark, rows)).collect()
+
+
+def test_nb_duckdb_twin(spark):
+    import duckdb
+
+    from graftlink.relevance import nb_quality, nb_quality_sql
+
+    rows = [
+        (0, "alpha beta gamma", True),
+        (1, "beta gamma delta", True),
+        (2, "zeta eta theta", False),
+        (3, "eta theta iota", False),
+        (4, "alpha zeta beta eta", True),
+    ]
+    sp = sorted(map(tuple, nb_quality(_nb_docs(spark, rows)).collect()))
+    vals = ",".join(f"({i}, '{t}', {str(y).upper()})" for i, t, y in rows)
+    tw = sorted(
+        map(
+            tuple,
+            duckdb.connect()
+            .execute(
+                nb_quality_sql(
+                    f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text, label)"
+                )
+            )
+            .fetchall(),
+        )
+    )
+    assert sp == tw
