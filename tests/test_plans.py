@@ -709,3 +709,53 @@ def test_host_rollup_single_exchange_codegen(spark, tmp_path):
     assert "partial_count" in plan
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "anchor" not in read_schema  # column pruning reaches the scan
+
+
+def test_kmeans_assignment_stays_narrow(spark):
+    """The k-means assignment pass is pure codegen over the scan — k
+    fold distances + argmin with NO exchange, no Python, no Window;
+    the portable update's only exchange is the cluster groupBy."""
+    from graftlink.ivf import _assign
+    from graftlink.similarity import _as_double
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).select("vec_id", _as_double(F.col("embedding")).alias("_v"))
+    q = _assign(df, [[0.0, 0.0], [5.0, 5.0]], "vec_id")
+    plan = plan_of(q)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+
+
+def test_rebalance_salted_two_phase_no_single_window(spark):
+    """rebalance_sources must keep the salted local phase: two Window
+    nodes (salted local + bounded global), never ONE global window
+    directly over the raw table — the per_domain_cap skew discipline."""
+    from graftlink.corpus import rebalance_sources
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    q = rebalance_sources(df, {"s0": 1.0, "s1": 1.0, "s2": 1.0})
+    plan = plan_of(q)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_dedup_hash_only_shuffles(spark):
+    """span_dedup's exploded rows carry only (id, 8-byte hash) — the
+    raw text column must never reach an Exchange."""
+    from graftlink.corpus import span_dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "b c d e f")], "doc_id long, text string"
+    )
+    plan = plan_of(span_dedup(df, w=3))
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.*\n){1,3}", plan):
+        assert "text#" not in m.group(0)
