@@ -138,11 +138,29 @@ def voronoi_seeds(edges: DataFrame, dens: DataFrame | None = None) -> DataFrame:
 
 
 def voronoi_communities(
-    edges: DataFrame, max_rounds: int = 10_000, stats: dict | None = None
+    edges: DataFrame,
+    max_rounds: int = 10_000,
+    stats: dict | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
+    buckets: int | None = None,
 ) -> DataFrame:
     """DF[id, community, dist] — the Voronoi cell (seed id) and the
     integer density-weighted distance to it, for every vertex
-    reachable from the edge table's vertex universe."""
+    reachable from the edge table's vertex universe.
+
+    Per-round state DF[id, packed, _chg] is durably checkpointed with
+    lineage (north-rule resume contract); the saved _chg flags ARE
+    the frontier, so a killed run resumes with the exact frontier of
+    the interrupted round (density/length tables are pure functions
+    of the edges and rebuild). The per-round changed-count folds into
+    the state-save job (stats-in-save discipline)."""
+    from graftlink.checkpoint import CheckpointManager
+
+    spark = edges.sparkSession
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     dens = cut(local_relative_density(edges), eager=True)
     seeds = voronoi_seeds(edges, dens)
     qmap = dens.select("id", "q")
@@ -157,19 +175,38 @@ def voronoi_communities(
         )
     )
     lens = cut(lens, eager=True)
+    mgr = CheckpointManager(
+        checkpoint_dir, "voronoi", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
+    )
 
-    # state: packed = dist * PACK + seed (lexicographic (dist, seed) min)
-    state = cut(
-        seeds.select("id", (F.col("id")).alias("packed")), eager=True
-    )  # dist 0 => packed = seed
-    frontier = state
-    rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
+    start_round = 1
+    state = frontier = None
+    if resume:
+        found = mgr.latest()
+        if found is not None:
+            start_round = found[0] + 1
+            loaded = mgr.load(found[0], "id")
+            state = loaded.select("id", "packed")
+            frontier = loaded.where(F.col("_chg")).select("id", "packed")
+    if state is None:
+        # state: packed = dist * PACK + seed; dist 0 => packed = seed
+        state = cut(
+            seeds.select("id", (F.col("id")).alias("packed")), eager=True
+        )
+        frontier = state
+    rounds = start_round - 1
+    for rnd in range(start_round, max_rounds + 1):
+        rounds = rnd
+        # name-based resolution: after a save() the frontier's plan
+        # CONTAINS lens (persist keeps lineage), so dataset-qualified
+        # lens["a"]/lens["b"] trip the ambiguous-self-join analyzer;
+        # the output names (id,packed) vs (a,b,len) are disjoint, so
+        # plain column names resolve uniquely
         msgs = (
-            frontier.join(lens, frontier["id"] == lens["a"])
+            frontier.join(lens, F.col("id") == F.col("a"))
             .select(
-                lens["b"].alias("id"),
+                F.col("b").alias("id"),
                 # integer div/mod only: float division of a 53-bit-plus
                 # packed value would silently round
                 F.expr(f"(packed div {PACK} + len) * {PACK} + packed % {PACK}").alias(
@@ -179,45 +216,40 @@ def voronoi_communities(
             .groupBy("id")
             .agg(F.min("packed").alias("packed"))
         )
-        joined = msgs.join(
-            state.select(F.col("id"), F.col("packed").alias("old")), "id", "left"
+        relaxed = (
+            state.select("id", "packed")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("packed").alias("packed"))
         )
-        improved = cut(
-            joined.where(
-                F.col("old").isNull() | (F.col("packed") < F.col("old"))
-            ).select("id", "packed"),
-            eager=True,
-        )
-        if improved.isEmpty():
-            break
-        state = cut(
-            state.join(improved.select(F.col("id"), F.col("packed").alias("new")), "id", "left")
-            .select(
-                "id",
-                F.when(
-                    F.col("new").isNotNull() & (F.col("new") < F.col("packed")),
-                    F.col("new"),
-                )
-                .otherwise(F.col("packed"))
-                .alias("packed"),
-            )
-            .unionByName(
-                improved.join(state.select("id"), "id", "left_anti").select(
-                    "id", "packed"
-                )
+        flagged = relaxed.join(
+            state.select(F.col("id"), F.col("packed").alias("_old")), "id", "left"
+        ).select(
+            "id",
+            "packed",
+            (F.col("_old").isNull() | (F.col("packed") < F.col("_old"))).alias(
+                "_chg"
             ),
-            eager=True,
         )
-        frontier = improved
+        saved, stats_row = mgr.save(
+            flagged, rnd, "id", counters={"round": rnd},
+            stats_cols=[F.sum(F.col("_chg").cast("long")).alias("c")],
+        )
+        changed = stats_row["c"] or 0
+        state = saved.select("id", "packed")
+        frontier = saved.where(F.col("_chg")).select("id", "packed")
+        if changed == 0:
+            break
     else:
         raise RuntimeError(f"voronoi did not converge in {max_rounds} rounds")
     if stats is not None:
         stats["rounds"] = rounds
-    return state.select(
+    out = state.select(
         "id",
         (F.col("packed") % PACK).alias("community"),
         F.expr(f"packed div {PACK}").alias("dist"),
     )
+    return mgr.finalize(out)
 
 
 # ---------------------------------------------------------------------------

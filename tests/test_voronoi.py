@@ -146,3 +146,29 @@ def test_pack_headroom():
     # dist accumulates at most (2Q+1) per hop; PACK must dominate ids
     assert PACK > 10**9  # fixture/test id spaces
     assert (2 * Q + 1) * 10**4 * PACK < 2**63  # 10k-hop diameter headroom
+
+
+def test_voronoi_resume_exact(spark, tmp_path):
+    from graftlink.checkpoint import fingerprint_edges
+
+    ring = [(i, (i + 1) % 20) for i in range(20)]  # 11 rounds to converge
+    e = edges_df(spark, ring)
+    fp = fingerprint_edges(e)
+
+    def cells(df):
+        return {r.id: (r.community, r.dist) for r in df.collect()}
+
+    full = cells(
+        voronoi_communities(
+            e, checkpoint_dir=str(tmp_path / "f"), fingerprint=fp
+        )
+    )
+    d = str(tmp_path / "k")
+    with pytest.raises(RuntimeError):
+        voronoi_communities(e, max_rounds=3, checkpoint_dir=d, fingerprint=fp)
+    resumed = cells(
+        voronoi_communities(
+            e, checkpoint_dir=d, resume=True, fingerprint=fp
+        )
+    )
+    assert full == resumed  # integer state: exactly equal
