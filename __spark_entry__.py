@@ -38,6 +38,7 @@ from graftlink import compare as _compare
 from graftlink import hostgraph as _hostgraph
 from graftlink import voronoi as _voronoi
 from graftlink import ivf as _ivf
+from graftlink import ppr as _ppr
 from graftlink import knn as _knn
 from graftlink import pii as _pii
 from graftlink import sessions as _sessions
@@ -1857,6 +1858,15 @@ def _q_nb_quality(spark, sf_dir):
     return nb_quality(d)
 
 
+def _q_ppr_push(spark, sf_dir):
+    """Batch personalized PageRank (forward push, eps=0, 10 rounds —
+    the exact R-term Neumann series per seed; Pixie/related-pages
+    shape: many localized vectors in one pass)."""
+    from graftlink.ppr import ppr_push
+
+    return ppr_push(clean_edges(doc_edges(spark, sf_dir)), [0, 100, 200, 300, 400])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness pass records
     # at most the FIRST 50 dict entries. Round-4 rotation (verdict
@@ -1904,10 +1914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans,
         "ivf_topk": _q_ivf_topk,
         "nb_quality_scores": _q_nb_quality,
+        "ppr_push_seeds": _q_ppr_push,
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "pii_signals": _q_pii_signals,
-        "unigram_quality": _q_unigram_quality,
         "user_sessions": _q_user_sessions,
         "windowed_event_counts": _q_windowed_event_counts,
         "bowtie_regions": _q_bowtie_regions,
@@ -1979,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa": _q_modularity_lpa,
         "articulation_points": _q_articulation_points,
         "stratified_sample": _q_stratified_sample,
+        "unigram_quality": _q_unigram_quality,
         "knn_graph_5": _q_knn_graph,
         "line_dedup": _q_line_dedup,
         "girth": _q_girth,
@@ -2145,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_scores": _relevance.nb_quality_sql(
             "SELECT doc_id, text, lang = 'en' AS label FROM documents"
         ),
+        "ppr_push_seeds": _ppr.ppr_push_sql(_CLEAN, [0, 100, 200, 300, 400]),
         "bipartite_sides": _bipartite.bipartite_sides_sql(_CLEAN),
         "bipartite_check": _bipartite.bipartite_check_sql(_TWO_MODE),
         "part_copurchase_top20": f"""
