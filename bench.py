@@ -415,6 +415,18 @@ def main():
     queries["host_rollup_pagerank"] = round(time.monotonic() - t0, 2)
     log(f"host_rollup_pagerank: {n_hosts} hosts {queries['host_rollup_pagerank']}s")
 
+    # Batch forward-push PPR (r4 session 7): 16 seeds x 6 rounds on
+    # the big graph, production fp path — sparse (seed, vertex) state
+    # inside each seed's ball, one shared frontier join per round.
+    from graftlink.ppr import ppr_push
+
+    t0 = time.monotonic()
+    n_ppr = ppr_push(
+        edges, list(range(16)), rounds=6, ordered=False
+    ).count()
+    queries["ppr_push_16x6"] = round(time.monotonic() - t0, 2)
+    log(f"ppr_push_16x6: {n_ppr} rows {queries['ppr_push_16x6']}s")
+
     # q6: documents stand-in pipeline on the driver testdata
     t0 = time.monotonic()
     de = clean_edges(doc_edges(spark, SF_DIR))
@@ -547,6 +559,9 @@ def main():
             f"| host rollup + host PageRank (cc-webgraph shape) | "
             f"{queries['host_rollup_pagerank']} s ({n_hosts} hosts from "
             f"{N_EDGES:,} url edges) | local[{CPUS}] |\n"
+            f"| batch forward-push PPR (16 seeds x 6 rounds) | "
+            f"{queries['ppr_push_16x6']} s ({n_ppr:,} (seed,vertex) rows) "
+            f"| local[{CPUS}] |\n"
             f"| MinHash+LSH near-dup sweep | {queries['minhash_near_dup']} s "
             f"| documents @ {SF_DIR}, xxhash64 path, local[{CPUS}] |\n"
             f"| cross-doc span dedup (w=8 windows) | {queries['span_dedup']} s "
