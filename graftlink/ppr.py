@@ -48,29 +48,59 @@ def ppr_push(
     alpha: float = PPR_ALPHA,
     rounds: int = PPR_ROUNDS,
     ordered: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_mode: str = "durable",
+    resume: bool = False,
+    fingerprint: str = "",
+    buckets: int | None = None,
 ) -> DataFrame:
     """DF[seed, id, ppr] — settled mass after `rounds` synchronous
-    pushes, positive rows only, round-6 (module docstring spec)."""
+    pushes, positive rows only, round-6 (module docstring spec).
+
+    Per-round (seed, id, p, r) state checkpoints durably with lineage
+    (north-rule resume contract); a resumed run continues from the
+    last saved round and is exactly equal to the uninterrupted run up
+    to float-free integer round arithmetic (the state is a pure
+    function of the round index)."""
+    from graftlink.checkpoint import CheckpointManager
+
     spark = edges.sparkSession
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     e = cut(e, eager=True)
     deg = cut(deg, eager=True)
 
-    state = spark.createDataFrame(
-        [(int(s), int(s), 0.0, 1.0) for s in seeds],
-        "seed long, id long, p double, r double",
+    b = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mgr = CheckpointManager(
+        checkpoint_dir, "ppr", spark,
+        input_fingerprint=fingerprint, mode=checkpoint_mode, buckets=b,
     )
-    for _ in range(rounds):
+    start_round = 0
+    state = None
+    if resume:
+        found = mgr.latest()
+        if found is not None:
+            start_round = found[0] + 1
+            state = mgr.load(found[0], "id")
+    if state is None:
+        state = spark.createDataFrame(
+            [(int(s), int(s), 0.0, 1.0) for s in seeds],
+            "seed long, id long, p double, r double",
+        )
+    for rnd in range(start_round, rounds):
         pushing = state.join(deg, "id", "left").select(
             "seed", "id", "p", "r", F.coalesce("deg", F.lit(0)).alias("deg")
         )
+        # name-based resolution: the saved state's plan CONTAINS e
+        # (persist keeps lineage), so dataset-qualified e["src"] would
+        # trip the ambiguous-self-join analyzer; (seed,id,p,r,deg) and
+        # (src,dst) are name-disjoint, so plain names resolve uniquely
         nb_msgs = (
             pushing.where((F.col("r") > 0) & (F.col("deg") > 0))
-            .join(e, pushing["id"] == e["src"])
+            .join(e, F.col("id") == F.col("src"))
             .select(
                 "seed",
-                e["dst"].alias("tgt"),
+                F.col("dst").alias("tgt"),
                 F.col("id").alias("u"),
                 ((1.0 - alpha) * F.col("r") / F.col("deg")).alias("c"),
             )
@@ -98,20 +128,18 @@ def ppr_push(
         settled = state.select(
             "seed", "id", (F.col("p") + alpha * F.col("r")).alias("p")
         )
-        state = cut(
-            settled.join(
-                rnew.select("seed", F.col("tgt").alias("id"), "rn"),
-                ["seed", "id"],
-                "full_outer",
-            ).select(
-                "seed",
-                "id",
-                F.coalesce("p", F.lit(0.0)).alias("p"),
-                F.coalesce("rn", F.lit(0.0)).alias("r"),
-            ),
-            eager=True,
+        nxt = settled.join(
+            rnew.select("seed", F.col("tgt").alias("id"), "rn"),
+            ["seed", "id"],
+            "full_outer",
+        ).select(
+            "seed",
+            "id",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("rn", F.lit(0.0)).alias("r"),
         )
-    return (
+        state = mgr.save(nxt, rnd, "id", counters={"round": rnd})
+    return mgr.finalize(
         state.where(F.col("p") > 0)
         .select("seed", "id", F.round("p", 6).alias("ppr"))
         .where(F.col("ppr") > 0)

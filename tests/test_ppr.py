@@ -133,3 +133,29 @@ def test_ppr_duckdb_twin(spark):
         )
     )
     assert sp == tw
+
+
+def test_ppr_resume_exact(spark, tmp_path):
+    from graftlink.checkpoint import fingerprint_edges
+    from graftlink.ppr import ppr_push
+
+    rng = random.Random(31)
+    e = sorted({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    e = [(a, b) for a, b in e if a != b]
+    df = edges_df(spark, e)
+    fp = fingerprint_edges(df)
+
+    def vecs(res):
+        return {(r.seed, r.id): r.ppr for r in res.collect()}
+
+    full = vecs(
+        ppr_push(df, [0, 5], rounds=8,
+                 checkpoint_dir=str(tmp_path / "f"), fingerprint=fp)
+    )
+    d = str(tmp_path / "k")
+    ppr_push(df, [0, 5], rounds=3, checkpoint_dir=d, fingerprint=fp)
+    resumed = vecs(
+        ppr_push(df, [0, 5], rounds=8, checkpoint_dir=d, resume=True,
+                 fingerprint=fp)
+    )
+    assert full == resumed  # same fold sequence -> bit-equal at 6dp
