@@ -78,10 +78,21 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "portable",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    fingerprint: str = "",
 ) -> tuple[DataFrame, list[list[float]]]:
     """(DF[id, cluster], centroids) — module docstring spec; the
     returned assignment is against the centroids AFTER `iters`
-    updates."""
+    updates.
+
+    Resume contract: the model state is the k x d centroid matrix —
+    driver-sized — so each Lloyd round checkpoints it as an atomic
+    JSON sidecar (fingerprint + iteration + centroids; Python's JSON
+    round-trips doubles exactly), and a resumed run continues from
+    the last saved round bit-identically."""
+    import json as _json
+    import os as _os
     base = df.select(
         F.col(id_col).alias(id_col), _as_double(F.col(vec_col)).alias("_v")
     ).persist()
@@ -93,9 +104,27 @@ def kmeans(
         .limit(k)
         .collect()
     )
-    cents = [list(r["_v"]) for r in seeds]
+    ckdir = _os.path.join(checkpoint_dir, "kmeans") if checkpoint_dir else None
+    start_iter = 0
+    cents = None
+    if resume and ckdir and _os.path.isdir(ckdir):
+        its = sorted(
+            int(f[3:-5]) for f in _os.listdir(ckdir)
+            if f.startswith("it=") and f.endswith(".json")
+        )
+        for it in reversed(its):
+            with open(_os.path.join(ckdir, f"it={it}.json")) as fh:
+                st = _json.load(fh)
+            if st.get("fingerprint") == fingerprint:
+                cents = st["centroids"]
+                start_iter = it + 1
+                break
+    if cents is None:
+        cents = [list(r["_v"]) for r in seeds]
     d = len(cents[0])
-    for _ in range(iters):
+    if ckdir:
+        _os.makedirs(ckdir, exist_ok=True)
+    for _t in range(start_iter, iters):
         assigned = _assign(base, cents, id_col)
         if mode == "portable":
             # ordered fold: one exchange on cluster; members sorted by
@@ -138,6 +167,14 @@ def kmeans(
             ]
         new = {r["cluster"]: list(r["_c"]) for r in rows}
         cents = [new.get(j, cents[j]) for j in range(k)]  # empty keeps old
+        if ckdir:
+            tmp = _os.path.join(ckdir, f"it={_t}.json.tmp")
+            with open(tmp, "w") as fh:
+                _json.dump(
+                    {"fingerprint": fingerprint, "iteration": _t,
+                     "centroids": cents}, fh,
+                )
+            _os.replace(tmp, _os.path.join(ckdir, f"it={_t}.json"))
     out = _assign(base, cents, id_col).select("id", "cluster")
     base.unpersist()
     return out, cents

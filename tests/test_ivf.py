@@ -137,3 +137,34 @@ def test_kmeans_fast_mode_same_cells_on_separated_data(spark):
     a = sorted(map(tuple, kmeans_clusters(df, k=3, iters=2).collect()))
     b = sorted(map(tuple, kmeans_clusters(df, k=3, iters=2, mode="fast").collect()))
     assert a == b
+
+
+def test_kmeans_resume_bit_identical(spark, tmp_path):
+    vecs = _planted(n_per=12, k=3, d=6, spread=0.5)
+    df = _emb_df(spark, vecs)
+    fp = "kmfix"
+    full, cf = kmeans(
+        df, k=3, iters=4, checkpoint_dir=str(tmp_path / "f"), fingerprint=fp
+    )
+    full_rows = sorted(map(tuple, full.collect()))
+    d = str(tmp_path / "k")
+    kmeans(df, k=3, iters=2, checkpoint_dir=d, fingerprint=fp)
+    res, cr = kmeans(
+        df, k=3, iters=4, checkpoint_dir=d, resume=True, fingerprint=fp
+    )
+    assert cf == cr  # centroid doubles round-trip JSON exactly
+    assert sorted(map(tuple, res.collect())) == full_rows
+
+
+def test_kmeans_stale_fingerprint_not_resumed(spark, tmp_path):
+    vecs = _planted(n_per=10, k=2, d=4)
+    df = _emb_df(spark, vecs)
+    d = str(tmp_path / "k")
+    kmeans(df, k=2, iters=2, checkpoint_dir=d, fingerprint="old")
+    fresh, _ = kmeans(
+        df, k=2, iters=2, checkpoint_dir=d, resume=True, fingerprint="new"
+    )
+    plain, _ = kmeans(df, k=2, iters=2)
+    assert sorted(map(tuple, fresh.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
