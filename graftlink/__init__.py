@@ -90,6 +90,16 @@ from graftlink.triangles import (
 )
 from graftlink.truss import k_truss, trussness
 from graftlink.vertices import degrees, encode_vertices
+from graftlink.hostgraph import (
+    domain_edges,
+    host_edges,
+    host_harmonic,
+    host_link_stats,
+    host_pagerank,
+)
+from graftlink.ivf import ivf_topk, kmeans, kmeans_clusters
+from graftlink.ppr import ppr_push
+from graftlink.voronoi import voronoi_communities
 
 __all__ = [
     "pack_adjacency",
@@ -164,6 +174,16 @@ __all__ = [
     "constraint",
     "curate",
     "diversity",
+    "host_edges",
+    "domain_edges",
+    "host_link_stats",
+    "host_pagerank",
+    "host_harmonic",
+    "voronoi_communities",
+    "kmeans",
+    "kmeans_clusters",
+    "ivf_topk",
+    "ppr_push",
 ]
 
 __version__ = "0.1.0"
