@@ -88,7 +88,7 @@ def ppr_push(
             "seed long, id long, p double, r double",
         )
     for rnd in range(start_round, rounds):
-        pushing = state.join(deg, "id", "left").select(
+        pushing = state.join(deg.hint("shuffle_hash"), "id", "left").select(
             "seed", "id", "p", "r", F.coalesce("deg", F.lit(0)).alias("deg")
         )
         # name-based resolution: the saved state's plan CONTAINS e
@@ -97,7 +97,7 @@ def ppr_push(
         # (src,dst) are name-disjoint, so plain names resolve uniquely
         nb_msgs = (
             pushing.where((F.col("r") > 0) & (F.col("deg") > 0))
-            .join(e, F.col("id") == F.col("src"))
+            .join(e.hint("shuffle_hash"), F.col("id") == F.col("src"))
             .select(
                 "seed",
                 F.col("dst").alias("tgt"),
@@ -129,7 +129,9 @@ def ppr_push(
             "seed", "id", (F.col("p") + alpha * F.col("r")).alias("p")
         )
         nxt = settled.join(
-            rnew.select("seed", F.col("tgt").alias("id"), "rn"),
+            rnew.select("seed", F.col("tgt").alias("id"), "rn").hint(
+                "shuffle_hash"
+            ),
             ["seed", "id"],
             "full_outer",
         ).select(

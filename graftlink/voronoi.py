@@ -204,7 +204,7 @@ def voronoi_communities(
         # the output names (id,packed) vs (a,b,len) are disjoint, so
         # plain column names resolve uniquely
         msgs = (
-            frontier.join(lens, F.col("id") == F.col("a"))
+            frontier.join(lens.hint("shuffle_hash"), F.col("id") == F.col("a"))
             .select(
                 F.col("b").alias("id"),
                 # integer div/mod only: float division of a 53-bit-plus
@@ -223,7 +223,11 @@ def voronoi_communities(
             .agg(F.min("packed").alias("packed"))
         )
         flagged = relaxed.join(
-            state.select(F.col("id"), F.col("packed").alias("_old")), "id", "left"
+            state.select(F.col("id"), F.col("packed").alias("_old")).hint(
+                "shuffle_hash"
+            ),
+            "id",
+            "left",
         ).select(
             "id",
             "packed",
