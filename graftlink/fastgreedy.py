@@ -145,8 +145,8 @@ def fastgreedy_communities(
         # ΔQ rounded so the argmax is immune to partial-agg
         # summation-order fp noise (the walktrap ds discipline).
         scored = (
-            pairs.join(ka, "a")
-            .join(kb, "b")
+            pairs.join(ka.hint("shuffle_hash"), "a")
+            .join(kb.hint("shuffle_hash"), "b")
             .select(
                 "a",
                 "b",
@@ -175,7 +175,9 @@ def fastgreedy_communities(
         rec_half = (
             nn.alias("x")
             .join(
-                nn.select(F.col("c").alias("nn"), F.col("nn").alias("back")).alias("y"),
+                nn.select(F.col("c").alias("nn"), F.col("nn").alias("back"))
+                .hint("shuffle_hash")
+                .alias("y"),
                 "nn",
             )
             .where((F.col("back") == F.col("x.c")) & (F.col("x.c") < F.col("nn")))
@@ -196,8 +198,8 @@ def fastgreedy_communities(
         ra = mm.select(F.col("old").alias("a"), F.col("new").alias("na"))
         rb = mm.select(F.col("old").alias("b"), F.col("new").alias("nb"))
         cg = (
-            cg.join(ra, "a", "left")
-            .join(rb, "b", "left")
+            cg.join(ra.hint("shuffle_hash"), "a", "left")
+            .join(rb.hint("shuffle_hash"), "b", "left")
             .select(
                 F.least(F.coalesce("na", "a"), F.coalesce("nb", "b")).alias("a"),
                 F.greatest(F.coalesce("na", "a"), F.coalesce("nb", "b")).alias("b"),
@@ -209,7 +211,11 @@ def fastgreedy_communities(
         cg = _cut(cg)
         comm = (
             comm.join(
-                mm.select(F.col("old").alias("community"), "new"), "community", "left"
+                mm.select(F.col("old").alias("community"), "new").hint(
+                    "shuffle_hash"
+                ),
+                "community",
+                "left",
             ).select("id", F.coalesce("new", "community").alias("community"))
         )
         comm = _cut(comm)
@@ -247,7 +253,9 @@ def fastgreedy_communities(
 
     labels = comm.select("id", F.col("community").alias("label"))
     mmb = labels.groupBy("label").agg(F.min("id").alias("_mm"))
-    labels = labels.join(mmb, "label").select("id", F.col("_mm").alias("label"))
+    labels = labels.join(mmb.hint("shuffle_hash"), "label").select(
+        "id", F.col("_mm").alias("label")
+    )
     if renumber:
         return _renumber(labels).withColumnRenamed("component", "community")
     return labels.select("id", F.col("label").alias("community"))

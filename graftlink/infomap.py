@@ -132,16 +132,17 @@ def _move_phase_infomap(
         cu = comm.select(F.col("id").alias("u"), F.col("c").alias("cu"))
         cv = comm.select(F.col("id").alias("v"), F.col("c").alias("cv"))
         cut = (
-            sym.join(cu, "u").join(cv, "v")
+            sym.join(cu.hint("shuffle_hash"), "u")
+            .join(cv.hint("shuffle_hash"), "v")
             .where(F.col("cu") != F.col("cv"))
             .groupBy(F.col("cu").alias("c"))
             .agg(F.sum("w").alias("cut"))
         )
         ctot = (
-            comm.join(vert, "id")
+            comm.join(vert.hint("shuffle_hash"), "id")
             .groupBy("c")
             .agg(F.sum("k").alias("sk"))
-            .join(cut, "c", "left")
+            .join(cut.hint("shuffle_hash"), "c", "left")
             .select("c", "sk", F.coalesce("cut", F.lit(0.0)).alias("cut"))
             .localCheckpoint(eager=True)
         )
@@ -167,11 +168,16 @@ def _move_phase_infomap(
             break
 
         kic = (
-            sym.join(comm.withColumnRenamed("id", "v").withColumnRenamed("c", "nc"), "v")
+            sym.join(
+                comm.withColumnRenamed("id", "v")
+                .withColumnRenamed("c", "nc")
+                .hint("shuffle_hash"),
+                "v",
+            )
             .groupBy(F.col("u").alias("id"), "nc")
             .agg(F.sum("w").alias("kin"))
         )
-        cur = comm.join(vert, "id")
+        cur = comm.join(vert.hint("shuffle_hash"), "id")
         # candidate rows: every neighbor community of i (moving into a
         # non-adjacent module can only raise the codelength)
         a_stats = ctot.select(
@@ -185,16 +191,16 @@ def _move_phase_infomap(
         qt_tot = F.lit(float(stat["qt"] or 0.0))
         m2l = F.lit(m2)
         cand = (
-            cur.join(kic, "id")
+            cur.join(kic.hint("shuffle_hash"), "id")
             .where(F.col("nc") != F.col("c"))
-            .join(wiA, ["id", "c"], "left")
+            .join(wiA.hint("shuffle_hash"), ["id", "c"], "left")
             .select(
                 "id", "c", "nc", "k", "kout",
                 F.col("kin").alias("wiB"),
                 F.coalesce("wiA", F.lit(0.0)).alias("wiA"),
             )
-            .join(a_stats, "c")
-            .join(b_stats, "nc")
+            .join(a_stats.hint("shuffle_hash"), "c")
+            .join(b_stats.hint("shuffle_hash"), "nc")
         )
         cutAp = F.col("cutA") - F.col("kout") + 2 * F.col("wiA")
         cutBp = F.col("cutB") + F.col("kout") - 2 * F.col("wiB")
@@ -233,21 +239,21 @@ def _move_phase_infomap(
                 movers.select(
                     F.col("id").alias("v"),
                     F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
-                ),
+                ).hint("shuffle_hash"),
                 "v",
             )
             .groupBy(F.col("u").alias("id"))
             .agg(F.max("_ns").alias("_nb"))
         )
         accepted = (
-            movers.join(nbr_best, "id", "left")
+            movers.join(nbr_best.hint("shuffle_hash"), "id", "left")
             .where(
                 F.col("_nb").isNull()
                 | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
             )
             .select("id", "best_c")
         )
-        moved = comm.join(accepted, "id", "left").select(
+        moved = comm.join(accepted.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("best_c", F.col("c")).alias("c"),
             F.col("c").alias("prev"),
         )
@@ -351,7 +357,9 @@ def infomap_communities(
             mapping = comm.select("id", F.col("c").alias("sv"))
         else:
             mapping = (
-                mapping.join(comm.withColumnRenamed("id", "sv"), "sv")
+                mapping.join(
+                    comm.withColumnRenamed("id", "sv").hint("shuffle_hash"), "sv"
+                )
                 .select("id", F.col("c").alias("sv"))
             )
         mapping = mapping.localCheckpoint(eager=True)
@@ -360,7 +368,8 @@ def infomap_communities(
         ca = comm.withColumnRenamed("id", "a").withColumnRenamed("c", "sa")
         cb = comm.withColumnRenamed("id", "b").withColumnRenamed("c", "sb")
         wedges = (
-            wedges.join(ca, "a").join(cb, "b")
+            wedges.join(ca.hint("shuffle_hash"), "a")
+            .join(cb.hint("shuffle_hash"), "b")
             .select(
                 F.least("sa", "sb").alias("a"),
                 F.greatest("sa", "sb").alias("b"),
@@ -376,6 +385,8 @@ def infomap_communities(
     labels = mapping.select("id", F.col("sv").alias("label"))
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
-        labels = labels.join(mm, "label").select("id", F.col("_mm").alias("label"))
+        labels = labels.join(mm.hint("shuffle_hash"), "label").select(
+        "id", F.col("_mm").alias("label")
+    )
         return _renumber(labels).withColumnRenamed("component", "community")
     return labels.select("id", F.col("label").alias("community"))

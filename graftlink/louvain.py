@@ -161,20 +161,30 @@ def _move_phase(
     )
 
     for rnd in range(max_rounds):
+        # every per-round join carries a shuffle_hash hint: the comm
+        # state is n-sized, so at scale (broadcast off) an unhinted
+        # join would SortMergeJoin — i.e. re-sort the m-sized sym
+        # table every move round (the b74526f Voronoi/PPR defect).
         ctot = (
-            comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("ktot"))
+            comm.join(deg.hint("shuffle_hash"), "id")
+            .groupBy("c").agg(F.sum("k").alias("ktot"))
         )
         # weight from i to each neighbor community
         kic = (
-            sym.join(comm.withColumnRenamed("id", "v").withColumnRenamed("c", "nc"), "v")
+            sym.join(
+                comm.withColumnRenamed("id", "v")
+                .withColumnRenamed("c", "nc")
+                .hint("shuffle_hash"),
+                "v",
+            )
             .groupBy(F.col("u").alias("id"), "nc")
             .agg(F.sum("w").alias("kin"))
         )
-        cur = comm.join(deg, "id")
+        cur = comm.join(deg.hint("shuffle_hash"), "id")
         # candidates: neighbor communities + staying put (kin 0 if no
         # internal neighbor edge)
         cand = (
-            cur.join(kic, "id", "left")
+            cur.join(kic.hint("shuffle_hash"), "id", "left")
             .select(
                 "id", "c", "k",
                 F.coalesce("nc", F.col("c")).alias("nc"),
@@ -188,7 +198,9 @@ def _move_phase(
             .groupBy("id", "c", "k", "nc")
             .agg(F.max("kin").alias("kin"))
         )
-        scored = cand.join(ctot.withColumnRenamed("c", "nc"), "nc").select(
+        scored = cand.join(
+            ctot.withColumnRenamed("c", "nc").hint("shuffle_hash"), "nc"
+        ).select(
             "id", "c", "nc",
             (
                 F.col("kin")
@@ -219,7 +231,7 @@ def _move_phase(
         # (The round-1 draft gated moves by (id+round) parity instead;
         # that oscillates on hub graphs — karate cycled at Q=0.28.)
         movers = (
-            best.join(cur_gain, "id")
+            best.join(cur_gain.hint("shuffle_hash"), "id")
             .where(F.col("best_gain") > F.col("stay_gain") + F.lit(1e-12))
             .select(
                 "id", "best_c",
@@ -232,21 +244,21 @@ def _move_phase(
                 movers.select(
                     F.col("id").alias("v"),
                     F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
-                ),
+                ).hint("shuffle_hash"),
                 "v",
             )
             .groupBy(F.col("u").alias("id"))
             .agg(F.max("_ns").alias("_nb"))
         )
         accepted = (
-            movers.join(nbr_best, "id", "left")
+            movers.join(nbr_best.hint("shuffle_hash"), "id", "left")
             .where(
                 F.col("_nb").isNull()
                 | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
             )
             .select("id", "best_c")
         )
-        moved = comm.join(accepted, "id", "left").select(
+        moved = comm.join(accepted.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("best_c", F.col("c")).alias("new_c"), F.col("c")
         )
         new_comm, row = mgr.save(
@@ -294,7 +306,8 @@ def _refine_phase(
     pc_u = P.select(F.col("id").alias("u"), F.col("c").alias("_pu"))
     pc_v = P.select(F.col("id").alias("v"), F.col("c").alias("_pv"))
     sym_c = (
-        sym.join(pc_u, "u").join(pc_v, "v")
+        sym.join(pc_u.hint("shuffle_hash"), "u")
+        .join(pc_v.hint("shuffle_hash"), "v")
         .where(F.col("_pu") == F.col("_pv"))
         .select("u", "v", "w")
         .localCheckpoint(eager=True)
@@ -304,7 +317,11 @@ def _refine_phase(
         None, "leiden-refine", wedges.sparkSession, mode="local", truncate_every=1
     )
     for rnd in range(max_rounds):
-        ctot = comm.join(deg, "id").groupBy("c").agg(F.sum("k").alias("ktot"))
+        # same per-round shuffle_hash discipline as _move_phase
+        ctot = (
+            comm.join(deg.hint("shuffle_hash"), "id")
+            .groupBy("c").agg(F.sum("k").alias("ktot"))
+        )
         singles = (
             comm.groupBy("c").agg(F.count("*").alias("_n"), F.min("id").alias("id"))
             .where(F.col("_n") == 1)
@@ -312,16 +329,20 @@ def _refine_phase(
         )
         kic = (
             sym_c.join(
-                comm.withColumnRenamed("id", "v").withColumnRenamed("c", "nc"), "v"
+                comm.withColumnRenamed("id", "v")
+                .withColumnRenamed("c", "nc")
+                .hint("shuffle_hash"),
+                "v",
             )
             .groupBy(F.col("u").alias("id"), "nc")
             .agg(F.sum("w").alias("kin"))
         )
         movers = (
-            singles.join(comm, "id").join(deg, "id")
-            .join(kic, "id")
+            singles.join(comm.hint("shuffle_hash"), "id")
+            .join(deg.hint("shuffle_hash"), "id")
+            .join(kic.hint("shuffle_hash"), "id")
             .where(F.col("nc") != F.col("c"))
-            .join(ctot.withColumnRenamed("c", "nc"), "nc")
+            .join(ctot.withColumnRenamed("c", "nc").hint("shuffle_hash"), "nc")
             .select(
                 "id", "nc",
                 (
@@ -344,21 +365,21 @@ def _refine_phase(
                 movers.select(
                     F.col("id").alias("v"),
                     F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
-                ),
+                ).hint("shuffle_hash"),
                 "v",
             )
             .groupBy(F.col("u").alias("id"))
             .agg(F.max("_ns").alias("_nb"))
         )
         accepted = (
-            movers.join(nbr_best, "id", "left")
+            movers.join(nbr_best.hint("shuffle_hash"), "id", "left")
             .where(
                 F.col("_nb").isNull()
                 | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
             )
             .select("id", "best_c")
         )
-        moved = comm.join(accepted, "id", "left").select(
+        moved = comm.join(accepted.hint("shuffle_hash"), "id", "left").select(
             "id", F.coalesce("best_c", F.col("c")).alias("c"), F.col("c").alias("prev")
         )
         new_comm, row = mgr.save(
@@ -433,10 +454,14 @@ def leiden_communities(
             flat = P.select("id", F.col("c").alias("label"))
             mapping = R.select("id", F.col("c").alias("sv"))
         else:
-            flat = mapping.join(P.withColumnRenamed("id", "sv"), "sv").select(
+            flat = mapping.join(
+                P.withColumnRenamed("id", "sv").hint("shuffle_hash"), "sv"
+            ).select(
                 "id", F.col("c").alias("label")
             )
-            mapping = mapping.join(R.withColumnRenamed("id", "sv"), "sv").select(
+            mapping = mapping.join(
+                R.withColumnRenamed("id", "sv").hint("shuffle_hash"), "sv"
+            ).select(
                 "id", F.col("c").alias("sv")
             )
         flat = flat.localCheckpoint(eager=True)
@@ -448,7 +473,8 @@ def leiden_communities(
         ca = R.withColumnRenamed("id", "a").withColumnRenamed("c", "sa")
         cb = R.withColumnRenamed("id", "b").withColumnRenamed("c", "sb")
         wedges = (
-            wedges.join(ca, "a").join(cb, "b")
+            wedges.join(ca.hint("shuffle_hash"), "a")
+            .join(cb.hint("shuffle_hash"), "b")
             .select(
                 F.least("sa", "sb").alias("a"),
                 F.greatest("sa", "sb").alias("b"),
@@ -462,7 +488,7 @@ def leiden_communities(
         # on the refined super-vertices (each refined community lies
         # inside exactly one P community)
         init = (
-            R.join(P.withColumnRenamed("c", "_pc"), "id")
+            R.join(P.withColumnRenamed("c", "_pc").hint("shuffle_hash"), "id")
             .select(F.col("c").alias("id"), F.col("_pc").alias("c"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -475,7 +501,9 @@ def leiden_communities(
     labels = flat
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
-        labels = labels.join(mm, "label").select("id", F.col("_mm").alias("label"))
+        labels = labels.join(mm.hint("shuffle_hash"), "label").select(
+            "id", F.col("_mm").alias("label")
+        )
         return _renumber(labels).withColumnRenamed("component", "community")
     return labels.select("id", F.col("label").alias("community"))
 
@@ -537,7 +565,9 @@ def louvain_communities(
             mapping = comm.select("id", F.col("c").alias("sv"))
         else:
             mapping = (
-                mapping.join(comm.withColumnRenamed("id", "sv"), "sv")
+                mapping.join(
+                    comm.withColumnRenamed("id", "sv").hint("shuffle_hash"), "sv"
+                )
                 .select("id", F.col("c").alias("sv"))
             )
         mapping = mapping.localCheckpoint(eager=True)
@@ -548,7 +578,8 @@ def louvain_communities(
         ca = comm.withColumnRenamed("id", "a").withColumnRenamed("c", "sa")
         cb = comm.withColumnRenamed("id", "b").withColumnRenamed("c", "sb")
         wedges = (
-            wedges.join(ca, "a").join(cb, "b")
+            wedges.join(ca.hint("shuffle_hash"), "a")
+            .join(cb.hint("shuffle_hash"), "b")
             .select(
                 F.least("sa", "sb").alias("a"),
                 F.greatest("sa", "sb").alias("b"),
@@ -564,6 +595,8 @@ def louvain_communities(
     labels = mapping.select("id", F.col("sv").alias("label"))
     if renumber:
         mm = labels.groupBy("label").agg(F.min("id").alias("_mm"))
-        labels = labels.join(mm, "label").select("id", F.col("_mm").alias("label"))
+        labels = labels.join(mm.hint("shuffle_hash"), "label").select(
+            "id", F.col("_mm").alias("label")
+        )
         return _renumber(labels).withColumnRenamed("component", "community")
     return labels.select("id", F.col("label").alias("community"))

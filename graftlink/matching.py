@@ -101,11 +101,15 @@ def maximal_matching(
         minp = inc.groupBy("id").agg(F.min("p").alias("mp"))
         m_new = (
             ep.join(
-                minp.select(F.col("id").alias("a"), F.col("mp").alias("ma")),
+                minp.select(F.col("id").alias("a"), F.col("mp").alias("ma")).hint(
+                    "shuffle_hash"
+                ),
                 "a",
             )
             .join(
-                minp.select(F.col("id").alias("b"), F.col("mp").alias("mb")),
+                minp.select(F.col("id").alias("b"), F.col("mp").alias("mb")).hint(
+                    "shuffle_hash"
+                ),
                 "b",
             )
             .where((F.col("p") == F.col("ma")) & (F.col("p") == F.col("mb")))
@@ -117,8 +121,14 @@ def maximal_matching(
             .localCheckpoint(eager=True)
         )
         kept = (
-            e.join(mv.withColumnRenamed("id", "a"), "a", "left_anti")
-            .join(mv.withColumnRenamed("id", "b"), "b", "left_anti")
+            e.join(
+                mv.withColumnRenamed("id", "a").hint("shuffle_hash"),
+                "a", "left_anti",
+            )
+            .join(
+                mv.withColumnRenamed("id", "b").hint("shuffle_hash"),
+                "b", "left_anti",
+            )
             .select("a", "b", F.lit(0).alias("st"))
         )
         upd = (

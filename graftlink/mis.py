@@ -134,19 +134,24 @@ def maximal_independent_set(
         )
         own = F.struct(_pri(F.col("id")).alias("_p"), F.col("id").alias("_i"))
         new_in = (
-            active.join(minp, "id", "left")
+            active.join(minp.hint("shuffle_hash"), "id", "left")
             .where(F.col("_mn").isNull() | (own < F.col("_mn")))
             .select("id")
             .localCheckpoint(eager=True)
         )
         out = (
-            nb.join(new_in.withColumnRenamed("id", "u"), "u", "left_semi")
+            nb.join(
+                new_in.withColumnRenamed("id", "u").hint("shuffle_hash"),
+                "u", "left_semi",
+            )
             .select(F.col("v").alias("id"))
             .distinct()
         )
         upd = state.join(
-            new_in.withColumn("_i", F.lit(1)), "id", "left"
-        ).join(out.withColumn("_o", F.lit(2)), "id", "left").select(
+            new_in.withColumn("_i", F.lit(1)).hint("shuffle_hash"), "id", "left"
+        ).join(
+            out.withColumn("_o", F.lit(2)).hint("shuffle_hash"), "id", "left"
+        ).select(
             "id",
             F.when(F.col("st") != 0, F.col("st"))
             .otherwise(F.coalesce("_i", "_o", F.lit(0)))
@@ -161,8 +166,14 @@ def maximal_independent_set(
             break
         active = state.where(F.col("st") == 0).select("id")
         nb = (
-            nb.join(active.withColumnRenamed("id", "u"), "u", "left_semi")
-            .join(active.withColumnRenamed("id", "v"), "v", "left_semi")
+            nb.join(
+                active.withColumnRenamed("id", "u").hint("shuffle_hash"),
+                "u", "left_semi",
+            )
+            .join(
+                active.withColumnRenamed("id", "v").hint("shuffle_hash"),
+                "v", "left_semi",
+            )
             .select("u", "v")
             .localCheckpoint(eager=True)
         )

@@ -126,11 +126,11 @@ def strongly_connected_components(
             srcs = e.select(F.col("src").alias("id")).distinct()
             dsts = e.select(F.col("dst").alias("id")).distinct()
             keep = (
-                verts.join(srcs, "id", "left_semi")
-                .join(dsts, "id", "left_semi")
+                verts.join(srcs.hint("shuffle_hash"), "id", "left_semi")
+                .join(dsts.hint("shuffle_hash"), "id", "left_semi")
                 .localCheckpoint(eager=True)
             )
-            trivial = verts.join(keep, "id", "left_anti")
+            trivial = verts.join(keep.hint("shuffle_hash"), "id", "left_anti")
             if trivial.isEmpty():
                 break
             assigned_parts.append(
@@ -138,8 +138,14 @@ def strongly_connected_components(
             )
             verts = keep
             e = (
-                e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
-                .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                e.join(
+                    keep.withColumnRenamed("id", "src").hint("shuffle_hash"),
+                    "src", "left_semi",
+                )
+                .join(
+                    keep.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                    "dst", "left_semi",
+                )
                 .localCheckpoint(eager=True)
             )
         if verts.isEmpty():
@@ -149,12 +155,12 @@ def strongly_connected_components(
         prev = None
         for _ in range(max_inner):
             msgs = (
-                e.join(color.withColumnRenamed("id", "src"), "src")
+                e.join(color.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max("c").alias("mc"))
             )
             color = (
-                color.join(msgs, "id", "left")
+                color.join(msgs.hint("shuffle_hash"), "id", "left")
                 .select("id", F.greatest("c", F.coalesce("mc", F.col("c"))).alias("c"))
                 .localCheckpoint(eager=True)
             )
@@ -164,8 +170,18 @@ def strongly_connected_components(
             prev = sig
         # --- 3. backward sweep within same-color edges ---
         ec = (
-            e.join(color.withColumnRenamed("id", "src").withColumnRenamed("c", "cs"), "src")
-            .join(color.withColumnRenamed("id", "dst").withColumnRenamed("c", "cd"), "dst")
+            e.join(
+                color.withColumnRenamed("id", "src")
+                .withColumnRenamed("c", "cs")
+                .hint("shuffle_hash"),
+                "src",
+            )
+            .join(
+                color.withColumnRenamed("id", "dst")
+                .withColumnRenamed("c", "cd")
+                .hint("shuffle_hash"),
+                "dst",
+            )
             .where(F.col("cs") == F.col("cd"))
             .select("src", "dst")
             .localCheckpoint(eager=True)
@@ -175,21 +191,34 @@ def strongly_connected_components(
         )
         for _ in range(max_inner):
             new_mark = (
-                ec.join(mark.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                ec.join(
+                    mark.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                    "dst", "left_semi",
+                )
                 .select(F.col("src").alias("id"))
                 .distinct()
-                .join(mark, "id", "left_anti")
+                .join(mark.hint("shuffle_hash"), "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
             if new_mark.isEmpty():
                 break
             mark = mark.unionByName(new_mark).localCheckpoint(eager=True)
-        scc = color.join(mark, "id", "left_semi").select("id", F.col("c").alias("label"))
+        scc = color.join(mark.hint("shuffle_hash"), "id", "left_semi").select(
+            "id", F.col("c").alias("label")
+        )
         assigned_parts.append(scc)
-        verts = verts.join(mark, "id", "left_anti").localCheckpoint(eager=True)
+        verts = verts.join(mark.hint("shuffle_hash"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
         e = (
-            e.join(mark.withColumnRenamed("id", "src"), "src", "left_anti")
-            .join(mark.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            e.join(
+                mark.withColumnRenamed("id", "src").hint("shuffle_hash"),
+                "src", "left_anti",
+            )
+            .join(
+                mark.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                "dst", "left_anti",
+            )
             .localCheckpoint(eager=True)
         )
         if durable:
@@ -222,7 +251,9 @@ def strongly_connected_components(
     # label -> SCC min member id (colors are max-ids; presentation
     # contract is min-member, ascending dense when renumbered)
     mm = assigned.groupBy("label").agg(F.min("id").alias("_mm"))
-    labels = assigned.join(mm, "label").select("id", F.col("_mm").alias("label"))
+    labels = assigned.join(mm.hint("shuffle_hash"), "label").select(
+        "id", F.col("_mm").alias("label")
+    )
     if renumber:
         return _renumber(labels)
     return labels.select("id", F.col("label").alias("component"))
