@@ -660,7 +660,8 @@ def line_dedup_sql(min_dup_count: int = 2) -> str:
         )
         SELECT doc_id,
                count(*) AS n_lines,
-               sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_removed,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
                coalesce(
                    string_agg(CASE WHEN NOT dropped THEN line END,
                               chr(10) ORDER BY pos),

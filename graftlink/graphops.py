@@ -167,8 +167,8 @@ def graph_predicates_sql(clean: str) -> str:
         )
         SELECT (SELECT count(*) FROM verts) AS n_vertices,
                rows_ AS n_edges,
-               loops AS n_self_loops,
-               rows_ - loops - dedup AS n_multi_edges,
+               CAST(loops AS BIGINT) AS n_self_loops,
+               CAST(rows_ - loops - dedup AS BIGINT) AS n_multi_edges,
                (loops = 0 AND rows_ - loops - dedup = 0) AS is_simple,
                ((SELECT count(DISTINCT lab) FROM comp) = 1
                 AND (SELECT count(*) FROM verts) > 0)

@@ -93,6 +93,24 @@ def domain_edges(
     return de.groupBy("src_domain", "dst_domain").agg(F.count("*").alias("weight"))
 
 
+def _rollup_for_rank(
+    url_edges: DataFrame, level: str, src_col: str, dst_col: str
+) -> DataFrame:
+    """DF[src_host, dst_host, weight] at the requested contraction
+    level — domain rollup renamed into the host-column contract so
+    the shared rank pipeline (dictionary + kernel) is level-blind."""
+    if level == "domain":
+        de = domain_edges(url_edges, src_col, dst_col)
+        return de.select(
+            F.col("src_domain").alias("src_host"),
+            F.col("dst_domain").alias("dst_host"),
+            "weight",
+        )
+    if level != "host":
+        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
+    return host_edges(url_edges, src_col, dst_col)
+
+
 def host_link_stats(
     url_edges: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
 ) -> DataFrame:
@@ -133,10 +151,14 @@ def host_pagerank(
     tol: float = 1e-6,
     src_col: str = "src_url",
     dst_col: str = "dst_url",
+    level: str = "host",
     **pr_kw,
 ) -> DataFrame:
     """DF[host, rank] — weighted PageRank on the host rollup, the
-    headline cc-webgraph centrality.
+    headline cc-webgraph centrality. `level="domain"` contracts by
+    registrable domain instead (domain_expr over host_expr) so the
+    ranked entities match the rollup level — the host column then
+    holds domains (round-4 advisor finding).
 
     Pipeline: rollup (one agg) -> host dictionary (two-pass dense
     rank) -> the engine's weighted PageRank kernel on dense long ids
@@ -144,7 +166,7 @@ def host_pagerank(
     broadcast-able (the host table is tiny next to the edge table);
     the iterative work never sees a string.
     """
-    he = host_edges(url_edges, src_col, dst_col)
+    he = _rollup_for_rank(url_edges, level, src_col, dst_col)
     hosts = dense_rank_ids(
         he.select(F.col("src_host").alias("host")).unionAll(
             he.select(F.col("dst_host").alias("host"))
@@ -267,7 +289,8 @@ def host_link_stats_sql(urledges: str) -> str:
     return f"""
         SELECT src_host AS host,
                count(*) AS out_links,
-               sum(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END) AS intra_links,
+               CAST(sum(CASE WHEN src_host = dst_host THEN 1 ELSE 0 END)
+                    AS BIGINT) AS intra_links,
                round(sum(CASE WHEN src_host = dst_host THEN 1.0 ELSE 0.0 END)
                      / count(*), 6) AS intra_frac,
                count(DISTINCT CASE WHEN src_host <> dst_host
@@ -333,6 +356,7 @@ def host_harmonic(
     normalized: bool = False,
     src_col: str = "src_url",
     dst_col: str = "dst_url",
+    level: str = "host",
 ) -> DataFrame:
     """DF[host, harmonic] — harmonic centrality of the host graph,
     the OTHER headline cc-webgraph rank (their releases publish
@@ -343,7 +367,7 @@ def host_harmonic(
     host names decode back through the broadcast dictionary."""
     from graftlink.cycles import harmonic_all
 
-    he = host_edges(url_edges, src_col, dst_col)
+    he = _rollup_for_rank(url_edges, level, src_col, dst_col)
     hosts = dense_rank_ids(
         he.select(F.col("src_host").alias("host")).unionAll(
             he.select(F.col("dst_host").alias("host"))

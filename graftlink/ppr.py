@@ -156,6 +156,12 @@ def ppr_push_sql(
 ) -> str:
     """DuckDB twin — unrolled layers, identical fold order.
 
+    The residual fold orders by (u, c) — not u alone: all dangling
+    contributions share the sentinel u=-1, so with >= 3 dangling
+    vertices in one seed's ball a u-only ORDER BY leaves their
+    relative fold order unspecified and the double sum can differ by
+    1 ulp from Spark's struct(u, c) sort (round-4 advisor finding).
+
     Every float literal is CAST to DOUBLE explicitly: DuckDB types
     bare `0.85`/`1.0` as DECIMAL, and decimal-contaminated arithmetic
     silently rounds the whole residual column (caught as a 1-ulp
@@ -173,7 +179,7 @@ def ppr_push_sql(
             FROM {prev} s LEFT JOIN deg d ON d.id = s.id
         ),
         m{t} AS MATERIALIZED (
-            SELECT seed, tgt, sum(c ORDER BY u) AS rn FROM (
+            SELECT seed, tgt, sum(c ORDER BY u, c) AS rn FROM (
                 SELECT p.seed, e.dst AS tgt, p.id AS u,
                        (CAST(1.0 AS DOUBLE) - CAST({alpha} AS DOUBLE)) * p.r / p.deg AS c
                 FROM p{t} p JOIN clean e ON e.src = p.id

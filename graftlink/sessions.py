@@ -117,14 +117,16 @@ def _sessionize_sql(source_sql: str, gap_seconds: int) -> str:
 def sessionize_sql(source_sql: str, gap_seconds: int = 1800) -> str:
     return f"""
         WITH {_sessionize_sql(source_sql, gap_seconds)}
-        SELECT event_id, user_id, ts_us, session_idx FROM tagged
+        SELECT event_id, user_id, ts_us,
+               CAST(session_idx AS BIGINT) AS session_idx
+        FROM tagged
     """
 
 
 def session_stats_sql(source_sql: str, gap_seconds: int = 1800) -> str:
     return f"""
         WITH {_sessionize_sql(source_sql, gap_seconds)}
-        SELECT user_id, session_idx,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                count(*) AS n_events,
                min(ts_us) AS start_us,
                max(ts_us) AS end_us,

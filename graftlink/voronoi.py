@@ -363,7 +363,7 @@ def voronoi_sql(clean: str, rounds: int = 60) -> str:
         l0 AS MATERIALIZED (SELECT id, id AS packed FROM seeds),
         {layer_sql}
         SELECT id,
-               packed % {PACK} AS community,
-               packed // {PACK} AS dist
+               CAST(packed % {PACK} AS BIGINT) AS community,
+               CAST(packed // {PACK} AS BIGINT) AS dist
         FROM {prev}
     """

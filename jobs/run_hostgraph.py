@@ -27,9 +27,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--url-edges", help="parquet with src_url,dst_url")
-    ap.add_argument("--pages", help="pages parquet (url,warc_ts,html,...)")
-    ap.add_argument("--synthetic", help="n_vertices,n_edges fixture graph")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--url-edges", help="parquet with src_url,dst_url")
+    src.add_argument("--pages", help="pages parquet (url,warc_ts,html,...)")
+    src.add_argument("--synthetic", help="n_vertices,n_edges fixture graph")
     ap.add_argument("--level", choices=["host", "domain"], default="host")
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--tol", type=float, default=1e-6)
@@ -73,19 +74,17 @@ def main():
     pr_kw = {}
     if args.checkpoint_dir:
         pr_kw = {"checkpoint_dir": args.checkpoint_dir}
-    if args.level == "domain":
-        # rename so the shared rank path sees host columns
-        ue_for_rank = ue  # domain rank = host machinery on domain_expr
-        ranks = host_pagerank(
-            ue_for_rank, max_iter=args.max_iter, tol=args.tol, **pr_kw
-        )
-    else:
-        ranks = host_pagerank(ue, max_iter=args.max_iter, tol=args.tol, **pr_kw)
+    # level flows into the rank path too: with --level domain the
+    # centralities are computed on the DOMAIN contraction, not merely
+    # labeled so (round-4 advisor finding)
+    ranks = host_pagerank(
+        ue, max_iter=args.max_iter, tol=args.tol, level=args.level, **pr_kw
+    )
     top = ranks.orderBy(F.col("rank").desc(), F.col("host").asc()).limit(10).collect()
 
     harm_rows = 0
     if not args.skip_harmonic:
-        harm = host_harmonic(ue)
+        harm = host_harmonic(ue, level=args.level)
         harm_rows = harm.count()
         if args.output:
             harm.write.mode("overwrite").parquet(f"{args.output}/harmonic")
@@ -101,7 +100,8 @@ def main():
                 "job": "hostgraph",
                 "level": args.level,
                 "rollup_pairs": n_pairs,
-                "top_host": top[0]["host"] if top else None,
+                ("top_domain" if args.level == "domain" else "top_host"):
+                    top[0]["host"] if top else None,
                 "harmonic_rows": harm_rows,
                 "wall_s": round(wall, 2),
             }

@@ -165,3 +165,37 @@ def test_host_harmonic_matches_networkx(spark):
     assert set(got) == set(want)
     for h in want:
         assert got[h] == pytest.approx(want[h], abs=1e-9)
+
+
+def test_domain_level_rank_contracts_by_domain(spark):
+    """level="domain" must rank DOMAINS: the returned entities are
+    exactly the domain rollup's vertex set, not hosts mislabeled as
+    domains (round-4 advisor finding on jobs/run_hostgraph.py)."""
+    from graftlink.hostgraph import (
+        domain_edges,
+        host_harmonic,
+        host_pagerank,
+    )
+
+    ue = _url_edges(spark, FIXTURE * 3)
+    de = domain_edges(ue)
+    domains = {
+        r[0]
+        for r in de.select("src_domain").unionAll(de.select("dst_domain"))
+        .distinct().collect()
+    }
+    ranked = {r["host"] for r in host_pagerank(ue, level="domain").collect()}
+    assert ranked == domains
+    harm = {r["host"] for r in host_harmonic(ue, level="domain").collect()}
+    assert harm == domains
+    # and the host-level default is unchanged (hosts != domains here)
+    hosts = {r["host"] for r in host_pagerank(ue).collect()}
+    assert hosts != domains
+
+
+def test_rollup_for_rank_rejects_unknown_level(spark):
+    from graftlink.hostgraph import _rollup_for_rank
+
+    ue = _url_edges(spark, FIXTURE)
+    with pytest.raises(ValueError):
+        _rollup_for_rank(ue, "tld", "src_url", "dst_url")
