@@ -1776,7 +1776,19 @@ def _q_voronoi(spark, sf_dir):
     FULL value-hash oracle (all state is exact integers)."""
     from graftlink.voronoi import voronoi_communities
 
-    return voronoi_communities(clean_edges(doc_edges(spark, sf_dir)))
+    stats: dict = {}
+    out = voronoi_communities(
+        clean_edges(doc_edges(spark, sf_dir)), stats=stats
+    )
+    # The DuckDB twin unrolls exactly 60 relaxation layers; if the
+    # Spark loop ever needs more (weighted hop diameter > 60) the
+    # oracle would be silently under-relaxed — fail loudly instead
+    # (round-4 advisor finding).
+    assert stats["rounds"] <= 60, (
+        f"voronoi converged in {stats['rounds']} rounds > the twin's "
+        "60 unrolled layers; raise voronoi_sql(rounds=)"
+    )
+    return out
 
 
 def _q_span_dedup(spark, sf_dir):
@@ -1884,30 +1896,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle by design).
 
     return {
-        # ---- front 50: never driver-recorded + round-4-changed ----
-        # Session-4 additions (bipartite family + knn graph) enter at
-        # the very front; sssp_parents / oneway_edges / dice_similarity
-        # / reciprocal_edges rotate to the tail to make room — each is
-        # the sibling of a family member still driver-covered
-        # (bfs/multi_source parents, bibcoupling, r03-recorded
-        # induced/contracted set algebra) and stays verified by the
-        # FULL sweep (tools/driver_check.py) + pytest.
-        # Session-7 rotation: the new host/domain web-graph family
-        # (graftlink/hostgraph.py) + Voronoi communities
-        # (graftlink/voronoi.py — the one community row with a full
-        # value-hash oracle) enter at the very front; pii_redacted /
-        # harmonic_all / core_numbers_in / bm25_top20 / closeness_all
-        # rotate to the tail to make room — each keeps an exact
-        # family sibling in the front (pii_signals, eccentricity_all
-        # on the same all-roots kernel x2, core_numbers on the same
-        # peel, tfidf_top3) and stays verified by the FULL sweep
-        # (tools/driver_check.py) + pytest.
+        # Ordering is load-bearing: the driver's correctness pass
+        # records at most the FIRST 50 dict entries. Round-5 rotation
+        # (r4 verdict tasks #2/#3), final form: the front 50 are the
+        # 46 queries never recorded in any driver file
+        # (CORRECTNESS_r01..r04 union = 116/165) plus the FOUR
+        # repaired r4 hash-red rows (host_link_stats,
+        # voronoi_communities, user_sessions, graph_predicates —
+        # root-caused to DuckDB HUGEINT twin columns arriving in
+        # pandas as float64 against Spark int64; twins now CAST to
+        # BIGINT, gated by tests/test_oracle_dtypes.py), so the
+        # r01..r05 union reaches 162/165. The three never-recorded
+        # rows held back to make room (closeness_hyperball,
+        # core_numbers_in, pii_redacted) each keep an exact family
+        # sibling in the front or a prior driver-green record
+        # (harmonic_hyperball/anf_trace, core_numbers r4-green,
+        # pii_signals r4-green) and stay verified by the FULL sweep
+        # (tools/driver_check.py -> CORRECTNESS_FULL_r05.json) +
+        # pytest. line_dedup (5th latent HUGEINT repair) is in the
+        # front via the never-recorded set.
+        # ---- front 50: never driver-recorded + repaired hash-reds ----
+        "multi_source_parents": _q_multi_source_parents,
+        "hits_weighted_top20": _q_hits_weighted,
+        "bipartite_check": _q_bipartite_check,
+        "eccentricity_harmonic": _q_ecc_harmonic,
+        "ws_smallworld": _q_ws_smallworld,
+        "bowtie_census": _q_bowtie_census,
+        "weighted_diversity": _q_diversity,
+        "doc_hash_sample": _q_doc_hash_sample,
+        "st_connectivity_0_42": _q_st_connectivity,
+        "repetition_signals": _q_repetition_signals,
+        "burt_constraint": _q_burt_constraint,
+        "induced_subgraph": _q_induced_subgraph,
+        "contracted_graph": _q_contracted_graph,
+        "knnk": _q_knnk,
+        "dyad_census": _q_dyad_census,
+        "four_clique_count": _q_four_cliques,
+        "assortativity_by_lang": _q_assortativity_by_lang,
+        "closeness_all": _q_closeness_all,
+        "center_periphery": _q_center_periphery,
+        "bfs_parents": _q_bfs_parents,
+        "modularity_lpa": _q_modularity_lpa,
+        "articulation_points": _q_articulation_points,
+        "stratified_sample": _q_stratified_sample,
+        "unigram_quality": _q_unigram_quality,
+        "knn_graph_5": _q_knn_graph,
+        "line_dedup": _q_line_dedup,
+        "girth": _q_girth,
+        "weighted_random_walks": _q_weighted_walks,
+        "harmonic_all": _q_harmonic_all,
+        "bm25_top20": _q_bm25_top20,
+        "maximal_matching": _q_matching,
+        "vertex_block_counts": _q_vertex_block_counts,
+        "strength_weighted": _q_strength,
+        "path_length_hist": _q_path_length_hist,
+        "avg_local_clustering": _q_avg_local_clustering,
+        "radius_diameter": _q_radius_diameter,
+        "reciprocal_edges": _q_reciprocal_edges,
+        "oneway_edges": _q_oneway_edges,
+        "dice_similarity": _q_dice_similarity,
+        "sssp_parents": _q_sssp_parents,
+        "anf_trace": _q_anf_trace,
+        "effective_diameter_hll": _q_effective_diameter,
+        "hyperball_balls": _q_hyperball_balls,
+        "harmonic_hyperball": _q_harmonic_hyperball,
+        "maximal_cliques": _q_maximal_cliques,
+        "clique_number": _q_clique_number,
+        "host_link_stats": _q_host_link_stats,
+        "voronoi_communities": _q_voronoi,
+        "user_sessions": _q_user_sessions,
+        "graph_predicates": _q_graph_predicates,
+        # ---- tail: driver-recorded in r01..r04; FULL-sweep + pytest covered ----
         "host_graph_edges": _q_host_graph_edges,
         "domain_graph_edges": _q_domain_graph_edges,
-        "host_link_stats": _q_host_link_stats,
         "host_pagerank_top10": _q_host_pagerank,
         "host_harmonic": _q_host_harmonic,
-        "voronoi_communities": _q_voronoi,
         "span_dedup_docs": _q_span_dedup,
         "lpa_seeded_communities": _q_lpa_seeded,
         "rebalanced_sources": _q_rebalance,
@@ -1918,7 +1981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_sides": _q_bipartite_sides,
         "part_copurchase_top20": _q_part_copurchase_top20,
         "pii_signals": _q_pii_signals,
-        "user_sessions": _q_user_sessions,
         "windowed_event_counts": _q_windowed_event_counts,
         "bowtie_regions": _q_bowtie_regions,
         "path_length_stats": _q_path_length_stats,
@@ -1942,7 +2004,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths_multi": _q_shortest_paths_multi,
         "sssp_negative": _q_sssp_negative,
         "widest_paths": _q_widest_paths,
-        "graph_predicates": _q_graph_predicates,
         "subcomponent_0_all": _q_subcomponent,
         "tfidf_top3": _q_tfidf_top3,
         "edge_betweenness": _q_edge_betweenness,
@@ -1952,51 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_mincut_0_42": _q_st_mincut,
         "core_numbers": _q_core_numbers,
         "curate_corpus": _q_curate_corpus,
-        # ---- tail: driver-recorded in r01/r02/r03 OR derivable from a
-        # front row (bowtie_census = groupBy of bowtie_regions, which
-        # st_mincut_0_42 displaced); FULL-sweep + pytest covered.
-        # Session-5 rotation: eccentricity_harmonic demoted here to
-        # make room for fastgreedy_communities — its exact siblings
-        # eccentricity_all + harmonic_all stay in the front and it
-        # remains FULL-sweep + pytest covered ----
-        # Session-6 rotation: bipartite_check demoted for
-        # leading_eigenvector_communities, multi_source_parents and
-        # hits_weighted_top20 for sssp_negative + widest_paths — each
-        # keeps an exact family sibling in the front (bipartite_sides,
-        # bfs_parents, eigenvector_weighted_top20); FULL-sweep +
-        # pytest cover them ----
-        "multi_source_parents": _q_multi_source_parents,
-        "hits_weighted_top20": _q_hits_weighted,
-        "bipartite_check": _q_bipartite_check,
-        "eccentricity_harmonic": _q_ecc_harmonic,
-        "ws_smallworld": _q_ws_smallworld,
-        "bowtie_census": _q_bowtie_census,
-        "weighted_diversity": _q_diversity,
-        "doc_hash_sample": _q_doc_hash_sample,
-        "st_connectivity_0_42": _q_st_connectivity,
-        "repetition_signals": _q_repetition_signals,
-        "burt_constraint": _q_burt_constraint,
-        "induced_subgraph": _q_induced_subgraph,
-        "contracted_graph": _q_contracted_graph,
-        "knnk": _q_knnk,
-        "dyad_census": _q_dyad_census,
-        "four_clique_count": _q_four_cliques,
-        "assortativity_by_lang": _q_assortativity_by_lang,
         "pii_redacted": _q_pii_redacted,
-        "closeness_all": _q_closeness_all,
-        "center_periphery": _q_center_periphery,
-        "bfs_parents": _q_bfs_parents,
-        "modularity_lpa": _q_modularity_lpa,
-        "articulation_points": _q_articulation_points,
-        "stratified_sample": _q_stratified_sample,
-        "unigram_quality": _q_unigram_quality,
-        "knn_graph_5": _q_knn_graph,
-        "line_dedup": _q_line_dedup,
-        "girth": _q_girth,
-        "weighted_random_walks": _q_weighted_walks,
-        "harmonic_all": _q_harmonic_all,
         "core_numbers_in": _q_core_numbers_in,
-        "bm25_top20": _q_bm25_top20,
         "edges_clean": _q_edges_clean,
         "out_degree": _q_out_degree,
         "in_degree": _q_in_degree,
@@ -2062,28 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": _q_triad_census,
         "edge_trussness": _q_edge_trussness,
         "mis_vertices": _q_mis,
-        "maximal_matching": _q_matching,
         "greedy_coloring": _q_coloring,
-        "vertex_block_counts": _q_vertex_block_counts,
-        "strength_weighted": _q_strength,
-        "path_length_hist": _q_path_length_hist,
-        "avg_local_clustering": _q_avg_local_clustering,
-        "radius_diameter": _q_radius_diameter,
-        "reciprocal_edges": _q_reciprocal_edges,
-        "oneway_edges": _q_oneway_edges,
-        "dice_similarity": _q_dice_similarity,
-        "sssp_parents": _q_sssp_parents,
-        # Session-5 additions (HyperBall family + maximal cliques):
-        # past position 50, so not driver-recorded THIS round — they
-        # stay verified by the FULL sweep + pytest and rotate into the
-        # round-5 front.
-        "anf_trace": _q_anf_trace,
-        "effective_diameter_hll": _q_effective_diameter,
-        "hyperball_balls": _q_hyperball_balls,
-        "harmonic_hyperball": _q_harmonic_hyperball,
         "closeness_hyperball": _q_closeness_hyperball,
-        "maximal_cliques": _q_maximal_cliques,
-        "clique_number": _q_clique_number,
     }
 
 
