@@ -99,6 +99,8 @@ from graftlink.hostgraph import (
 )
 from graftlink.ivf import ivf_topk, kmeans, kmeans_clusters
 from graftlink.ppr import ppr_push
+from graftlink.dominators import dominator_tree
+from graftlink.graphml import read_gml, read_graphml, write_gml, write_graphml
 from graftlink.voronoi import voronoi_communities
 
 __all__ = [
@@ -180,6 +182,11 @@ __all__ = [
     "host_pagerank",
     "host_harmonic",
     "voronoi_communities",
+    "dominator_tree",
+    "read_graphml",
+    "write_graphml",
+    "read_gml",
+    "write_gml",
     "kmeans",
     "kmeans_clusters",
     "ivf_topk",
