@@ -1880,6 +1880,27 @@ def _q_ppr_push(spark, sf_dir):
     return ppr_push(clean_edges(doc_edges(spark, sf_dir)), [0, 100, 200, 300, 400])
 
 
+def _q_transitivity_barrat(spark, sf_dir):
+    """igraph transitivity_barrat (Barrat 2004 weighted clustering)
+    over the canonical simple view with a deterministic symmetric
+    weight (a%7 + b%3 + 1) — same weight convention both engines."""
+    from graftlink.triangles import transitivity_barrat
+
+    e = (
+        clean_edges(doc_edges(spark, sf_dir))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .withColumn(
+            "weight",
+            (F.col("src") % 7 + F.col("dst") % 3 + 1).cast("double"),
+        )
+    )
+    return transitivity_barrat(e, "weight")
+
+
 def _q_dominator_tree(spark, sf_dir):
     """igraph dominator_tree (Lengauer-Tarjan surface) restated as
     the Allen-Cocke/CHK iterative dataflow on the superstep engine:
@@ -2112,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the next front.
         "dominator_tree": _q_dominator_tree,
         "graphml_edges": _q_graphml_edges,
+        "transitivity_barrat": _q_transitivity_barrat,
     }
 
 
@@ -2513,6 +2535,9 @@ def oracle_sql() -> dict[str, str]:
         "maximal_cliques": _cliques.maximal_cliques_sql(_CLEAN, k_max=6),
         "clique_number": _cliques.clique_number_sql(_CLEAN, k_max=6),
         "dominator_tree": _dominators.dominator_tree_sql(_CLEAN, 0),
+        "transitivity_barrat": _triangles.transitivity_barrat_sql(
+            _CLEAN, "a % 7 + b % 3 + 1"
+        ),
         # the graphml fixture is static: the oracle is its literal
         # decoded edge table (dense ids = sorted xml-id ranks)
         "graphml_edges": """

@@ -85,6 +85,7 @@ from graftlink.mis import greedy_coloring, maximal_independent_set
 from graftlink.triads import triad_census
 from graftlink.triangles import (
     four_clique_count,
+    transitivity_barrat,
     triangle_count,
     triangles_per_vertex,
 )
@@ -183,6 +184,7 @@ __all__ = [
     "host_harmonic",
     "voronoi_communities",
     "dominator_tree",
+    "transitivity_barrat",
     "read_graphml",
     "write_graphml",
     "read_gml",

@@ -66,10 +66,11 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 # --- igraph text I/O surface (Read_Edgelist / Write_Edgelist /
 # Read_Ncol; igraph@0.10.x src/io/edgelist.c, ncol.c [unverified —
 # reference checkout is empty]). Text scans split across executors
-# like any other file source, so these scale with partition count;
-# GraphML/GML stay out of scope (single-document XML has no
-# distributed parse and the formats exist for interchange with
-# visualization tools, not 1e12-edge corpora — see SURVEY.md ledger).
+# like any other file source, so these scale with partition count.
+# GraphML/GML ship in graftlink/graphml.py as DRIVER-side interchange
+# readers feeding the same dense-rank dictionary path (the formats
+# are single-document XML/blocks — no distributed parse exists, and
+# none is needed at interchange scale).
 
 def read_edgelist(
     spark: SparkSession,
