@@ -49,6 +49,7 @@ from graftlink import hyperball as _hb
 from graftlink import mis as _mis
 from graftlink import matching as _matching
 from graftlink import dominators as _dominators
+from graftlink import cyclebasis as _cyclebasis
 from graftlink import motifs as _motifs
 from graftlink import vertices as _vertices
 from graftlink import mst as _mst_sql
@@ -1880,6 +1881,15 @@ def _q_ppr_push(spark, sf_dir):
     return ppr_push(clean_edges(doc_edges(spark, sf_dir)), [0, 100, 200, 300, 400])
 
 
+def _q_fundamental_cycles(spark, sf_dir):
+    """igraph fundamental_cycles (the tractable slice of the
+    cycle-basis surface): one (a, b, lca, cycle_len) row per
+    non-tree edge of the deterministic BFS forest."""
+    from graftlink.cyclebasis import fundamental_cycles
+
+    return fundamental_cycles(clean_edges(doc_edges(spark, sf_dir)))
+
+
 def _q_transitivity_barrat(spark, sf_dir):
     """igraph transitivity_barrat (Barrat 2004 weighted clustering)
     over the canonical simple view with a deterministic symmetric
@@ -2134,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominator_tree": _q_dominator_tree,
         "graphml_edges": _q_graphml_edges,
         "transitivity_barrat": _q_transitivity_barrat,
+        "fundamental_cycles": _q_fundamental_cycles,
     }
 
 
@@ -2538,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity_barrat": _triangles.transitivity_barrat_sql(
             _CLEAN, "a % 7 + b % 3 + 1"
         ),
+        "fundamental_cycles": _cyclebasis.fundamental_cycles_sql(_CLEAN),
         # the graphml fixture is static: the oracle is its literal
         # decoded edge table (dense ids = sorted xml-id ranks)
         "graphml_edges": """

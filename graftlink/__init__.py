@@ -100,6 +100,7 @@ from graftlink.hostgraph import (
 )
 from graftlink.ivf import ivf_topk, kmeans, kmeans_clusters
 from graftlink.ppr import ppr_push
+from graftlink.cyclebasis import fundamental_cycles
 from graftlink.dominators import dominator_tree
 from graftlink.graphml import read_gml, read_graphml, write_gml, write_graphml
 from graftlink.voronoi import voronoi_communities
@@ -184,6 +185,7 @@ __all__ = [
     "host_harmonic",
     "voronoi_communities",
     "dominator_tree",
+    "fundamental_cycles",
     "transitivity_barrat",
     "read_graphml",
     "write_graphml",
