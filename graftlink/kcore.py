@@ -60,8 +60,10 @@ def _peel(und: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         )
         keep = deg.where(F.col("deg") >= k).select("id")
         new_e = (
-            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            e.join(keep.withColumnRenamed("id", "a").hint("shuffle_hash"),
+                   "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b").hint("shuffle_hash"),
+                  "b", "left_semi")
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
@@ -198,7 +200,7 @@ def core_numbers(
         clip_b = int(math.isqrt(m)) + 1
 
     state = (
-        verts.join(deg, "id", "left")
+        verts.join(deg.hint("shuffle_hash"), "id", "left")
         .select(
             "id",
             F.least(F.coalesce("h", F.lit(0)), F.lit(clip_b)).cast("long").alias("h"),

@@ -83,13 +83,15 @@ def pagerank(
         F.count("*").alias("out_deg")
     )
     # static per-vertex frame: id + out_deg (0 => dangling) + reset p
-    base = verts.join(out_deg, "id", "left").select(
+    base = verts.join(out_deg.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
     )
     if personalization is not None:
         psum = personalization.agg(F.sum("p")).collect()[0][0]
         base = base.join(
-            personalization.select("id", (F.col("p") / F.lit(psum)).alias("p")),
+            personalization.select(
+                "id", (F.col("p") / F.lit(psum)).alias("p")
+            ).hint("shuffle_hash"),
             "id",
             "left",
         ).select("id", "out_deg", F.coalesce("p", F.lit(0.0)).alias("p"))

@@ -69,7 +69,7 @@ def bfs_distances(
             .join(frontier.hint("shuffle_hash"), adj["src"] == frontier["id"], "inner")
             .select(F.explode("neighbors").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(visited.select("id").hint("shuffle_hash"), "id", "left_anti")
             .withColumn("dist", F.lit(depth).cast("int"))
         )
         visited, row = mgr.save(

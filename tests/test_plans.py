@@ -927,3 +927,34 @@ def test_mis_and_matching_rounds_sort_free_no_broadcast(spark):
         maximal_independent_set(e).count()
         maximal_matching(e).count()
     _assert_sort_free(captured)
+
+
+def test_pagerank_bfs_kcore_sort_free_no_broadcast(spark):
+    """Round-5 completeness audit: the flagship superstep families
+    must also stay SortMergeJoin-free with broadcast off — pagerank's
+    one-time base join, bfs's per-round visited anti-join and
+    kcore's peel semi-joins were the last unhinted sites."""
+    from graftlink.kcore import core_numbers, k_core
+    from graftlink.pagerank import pagerank
+    from graftlink.paths import bfs_distances
+
+    e = edges_df(spark, er_edges(50, 0.1, 31))
+    captured = []
+    with _no_broadcast(spark), _save_spy(captured):
+        pagerank(e, max_iter=3).count()
+        bfs_distances(e, 0).count()
+        core_numbers(e).count()
+        k_core(e, 2).count()
+    _assert_sort_free(captured, min_plans=6)
+
+
+def test_dominators_and_cyclebasis_sort_free_no_broadcast(spark):
+    from graftlink.cyclebasis import fundamental_cycles
+    from graftlink.dominators import dominator_tree
+
+    e = edges_df(spark, er_edges(45, 0.1, 33))
+    captured = []
+    with _no_broadcast(spark), _save_spy(captured):
+        dominator_tree(e, 0).count()
+        fundamental_cycles(e).count()
+    _assert_sort_free(captured, min_plans=4)
