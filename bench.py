@@ -268,10 +268,12 @@ def main():
     log(f"edge_betweenness_8src {queries['edge_betweenness_8src']}s")
 
     # bounded rounds: full-default Louvain on this graph runs ~60 move
-    # rounds across 3 levels (~8 min measured, tools/ab_bench.py) —
-    # the bench row pins 2 levels x <=8 rounds so the whole bench
-    # stays inside the driver's budget; the cost is per-round linear,
-    # so the bounded row is the honest per-round signal
+    # rounds across 3 levels — 256.9 s measured round 5 with the
+    # shuffle_hash move-phase joins (louvain_full_r5.json; ~476 s in
+    # round 4 before the hints) — the bench row pins 2 levels x <=8
+    # rounds so the whole bench stays inside the driver's budget; the
+    # cost is per-round linear, so the bounded row is the honest
+    # per-round signal
     t0 = time.monotonic()
     n_comm = (
         louvain_communities(edges, levels=2, max_rounds=8)
@@ -518,7 +520,9 @@ def main():
             f"{queries['core_numbers_hindex']} s (k_max={kmax}) "
             f"| local[{CPUS}] |\n"
             f"| SCC (trim+color+backward) | {queries['scc']} s "
-            f"({n_scc + 1:,} components) | local[{CPUS}] |\n"
+            f"({n_scc + 1:,} components; interleaved r4-vs-r5 A/B: "
+            f"hinted median 19.1 s vs unhinted 30.4 s, ab_scc_r5.json) "
+            f"| local[{CPUS}] |\n"
             f"| betweenness (8-source Brandes batch) | "
             f"{queries['betweenness_8src']} s | local[{CPUS}] |\n"
             f"| edge betweenness (8-source Brandes batch) | "
@@ -527,8 +531,9 @@ def main():
             f"{queries['multi_source_bfs_8src']} s | local[{CPUS}] |\n"
             f"| Louvain (bounded: 2 levels x 8 rounds) | "
             f"{queries['louvain_2lvl_8rnd']} s "
-            f"({n_comm + 1:,} communities; full-default run: ~476 s, "
-            f"~60 move rounds) | local[{CPUS}] |\n"
+            f"({n_comm + 1:,} communities; full-default run: 256.9 s "
+            f"measured r5 post-hints vs ~476 s r4 — louvain_full_r5.json) "
+            f"| local[{CPUS}] |\n"
             f"| Infomap (bounded: 2 levels x 8 rounds) | "
             f"{queries['infomap_2lvl_8rnd']} s "
             f"({n_mod + 1:,} modules; walktrap not benched here — "
