@@ -15,9 +15,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges")
     ap.add_argument(
-        "--format", default="parquet", choices=["parquet", "edgelist", "ncol"],
+        "--format", default="parquet",
+        choices=["parquet", "edgelist", "ncol", "graphml", "gml"],
         help="--edges file format: parquet, igraph integer edgelist, "
-             "or ncol (string names; dense ids assigned)",
+             "ncol (string names; dense ids assigned), or the "
+             "GraphML/GML interchange readers (driver-side parse, "
+             "dense ids assigned)",
     )
     ap.add_argument("--synthetic")
     ap.add_argument("--algo", default="star", choices=["star", "minlabel"])
@@ -42,6 +45,14 @@ def main():
         from graftlink.sources import read_ncol
 
         edges, _names = read_ncol(spark, args.edges)
+    elif args.format == "graphml":
+        from graftlink.graphml import read_graphml
+
+        edges, _names, _directed = read_graphml(spark, args.edges)
+    elif args.format == "gml":
+        from graftlink.graphml import read_gml
+
+        edges, _names, _directed = read_gml(spark, args.edges)
     else:
         edges = spark.read.parquet(args.edges)
 
