@@ -83,9 +83,13 @@ def pagerank(
         F.count("*").alias("out_deg")
     )
     # static per-vertex frame: id + out_deg (0 => dangling) + reset p
+    # shuffle_hash (not broadcast) so the one-time base build stays
+    # sort-free at scale; the explicit repartition pins the B-bucket
+    # id-partitioning contract the supersteps rely on regardless of
+    # spark.sql.shuffle.partitions
     base = verts.join(out_deg.hint("shuffle_hash"), "id", "left").select(
         "id", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-    )
+    ).repartition(b, "id")
     if personalization is not None:
         psum = personalization.agg(F.sum("p")).collect()[0][0]
         base = base.join(

@@ -111,10 +111,11 @@ def test_implicit_nodes_get_ids(spark, tmp_path):
 
 def test_determinism_across_partitioning(spark):
     e1, n1, _ = read_graphml(spark, FIXTURE)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
         e2, n2, _ = read_graphml(spark, FIXTURE)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, e2.collect()))
     assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
