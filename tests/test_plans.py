@@ -860,12 +860,17 @@ def test_leiden_refine_rounds_sort_free_no_broadcast(spark):
 
 
 def test_infomap_move_rounds_sort_free_no_broadcast(spark):
+    """state_broadcast_threshold=0 pins the at-scale shuffle arm of
+    the hybrid attach (the broadcast arm is exercised by the default
+    in every other infomap test)."""
     from graftlink.infomap import infomap_communities
 
     e = edges_df(spark, er_edges(50, 0.12, 13))
     captured = []
     with _no_broadcast(spark), _save_spy(captured):
-        infomap_communities(e, levels=1, max_rounds=3).count()
+        infomap_communities(
+            e, levels=1, max_rounds=3, state_broadcast_threshold=0
+        ).count()
     _assert_sort_free(captured)
 
 
