@@ -135,6 +135,7 @@ def _move_phase(
     max_rounds: int,
     m2: float,
     init: DataFrame | None = None,
+    state_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """One Louvain level over weighted edges DF[a, b, w] (self-loops
     allowed = coarsened internal weight). Returns DF[id, c].
@@ -149,6 +150,15 @@ def _move_phase(
     discipline) — the gain plan is never executed twice."""
     from graftlink.checkpoint import CheckpointManager
     sym, deg = _sym_deg(wedges)
+    # hybrid state attach (the infomap/leading_eigenvector recipe):
+    # broadcast the n-sized state frames while they fit, shuffle_hash
+    # hints past the threshold — the sort-free plan at 100x without
+    # giving up the broadcast joins at bench scale. Both arms produce
+    # identical results; the plan gate pins the shuffle arm.
+    if deg.count() <= state_broadcast_threshold:
+        att = F.broadcast
+    else:
+        att = lambda df: df.hint("shuffle_hash")  # noqa: E731
     if init is None:
         comm = deg.select("id", F.col("id").alias("c"))
     else:
@@ -161,30 +171,33 @@ def _move_phase(
     )
 
     for rnd in range(max_rounds):
-        # every per-round join carries a shuffle_hash hint: the comm
-        # state is n-sized, so at scale (broadcast off) an unhinted
-        # join would SortMergeJoin — i.e. re-sort the m-sized sym
-        # table every move round (the b74526f Voronoi/PPR defect).
+        # every per-round join attaches via att(): broadcast or
+        # shuffle_hash, never an unhinted SortMergeJoin that re-sorts
+        # the m-sized sym table every move round (the b74526f defect).
         ctot = (
-            comm.join(deg.hint("shuffle_hash"), "id")
+            comm.join(att(deg), "id")
             .groupBy("c").agg(F.sum("k").alias("ktot"))
         )
         # weight from i to each neighbor community
         kic = (
             sym.join(
-                comm.withColumnRenamed("id", "v")
-                .withColumnRenamed("c", "nc")
-                .hint("shuffle_hash"),
+                att(
+                    comm.withColumnRenamed("id", "v")
+                    .withColumnRenamed("c", "nc")
+                ),
                 "v",
             )
             .groupBy(F.col("u").alias("id"), "nc")
             .agg(F.sum("w").alias("kin"))
         )
-        cur = comm.join(deg.hint("shuffle_hash"), "id")
-        # candidates: neighbor communities + staying put (kin 0 if no
-        # internal neighbor edge)
+        cur = comm.join(att(deg), "id")
+        # candidates: neighbor communities + staying put. The n-sized
+        # cur attaches INTO the m-sized kic (inner join — a vertex
+        # with no intra-community neighbor edges still gets its stay
+        # row from the union branch, and the groupBy max dedups), so
+        # the broadcast arm never shuffles kic.
         cand = (
-            cur.join(kic.hint("shuffle_hash"), "id", "left")
+            kic.join(att(cur), "id")
             .select(
                 "id", "c", "k",
                 F.coalesce("nc", F.col("c")).alias("nc"),
@@ -199,7 +212,7 @@ def _move_phase(
             .agg(F.max("kin").alias("kin"))
         )
         scored = cand.join(
-            ctot.withColumnRenamed("c", "nc").hint("shuffle_hash"), "nc"
+            att(ctot.withColumnRenamed("c", "nc")), "nc"
         ).select(
             "id", "c", "nc",
             (
@@ -231,7 +244,7 @@ def _move_phase(
         # (The round-1 draft gated moves by (id+round) parity instead;
         # that oscillates on hub graphs — karate cycled at Q=0.28.)
         movers = (
-            best.join(cur_gain.hint("shuffle_hash"), "id")
+            best.join(att(cur_gain), "id")
             .where(F.col("best_gain") > F.col("stay_gain") + F.lit(1e-12))
             .select(
                 "id", "best_c",
@@ -241,24 +254,24 @@ def _move_phase(
         nbr_best = (
             sym.select("u", "v")
             .join(
-                movers.select(
+                att(movers.select(
                     F.col("id").alias("v"),
                     F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
-                ).hint("shuffle_hash"),
+                )),
                 "v",
             )
             .groupBy(F.col("u").alias("id"))
             .agg(F.max("_ns").alias("_nb"))
         )
         accepted = (
-            movers.join(nbr_best.hint("shuffle_hash"), "id", "left")
+            movers.join(att(nbr_best), "id", "left")
             .where(
                 F.col("_nb").isNull()
                 | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
             )
             .select("id", "best_c")
         )
-        moved = comm.join(accepted.hint("shuffle_hash"), "id", "left").select(
+        moved = comm.join(att(accepted), "id", "left").select(
             "id", F.coalesce("best_c", F.col("c")).alias("new_c"), F.col("c")
         )
         new_comm, row = mgr.save(
@@ -279,7 +292,8 @@ def _move_phase(
 
 
 def _refine_phase(
-    wedges: DataFrame, P: DataFrame, gamma: float, max_rounds: int, m2: float
+    wedges: DataFrame, P: DataFrame, gamma: float, max_rounds: int, m2: float,
+    state_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Leiden refinement (Traag/Waltman/van Eck 2019 §'refinement
     phase', igraph_community_leiden — igraph@0.10.x
@@ -303,11 +317,15 @@ def _refine_phase(
     from graftlink.checkpoint import CheckpointManager
 
     sym, deg = _sym_deg(wedges)
+    if deg.count() <= state_broadcast_threshold:
+        att = F.broadcast
+    else:
+        att = lambda df: df.hint("shuffle_hash")  # noqa: E731
     pc_u = P.select(F.col("id").alias("u"), F.col("c").alias("_pu"))
     pc_v = P.select(F.col("id").alias("v"), F.col("c").alias("_pv"))
     sym_c = (
-        sym.join(pc_u.hint("shuffle_hash"), "u")
-        .join(pc_v.hint("shuffle_hash"), "v")
+        sym.join(att(pc_u), "u")
+        .join(att(pc_v), "v")
         .where(F.col("_pu") == F.col("_pv"))
         .select("u", "v", "w")
         .localCheckpoint(eager=True)
@@ -319,7 +337,7 @@ def _refine_phase(
     for rnd in range(max_rounds):
         # same per-round shuffle_hash discipline as _move_phase
         ctot = (
-            comm.join(deg.hint("shuffle_hash"), "id")
+            comm.join(att(deg), "id")
             .groupBy("c").agg(F.sum("k").alias("ktot"))
         )
         singles = (
@@ -329,20 +347,21 @@ def _refine_phase(
         )
         kic = (
             sym_c.join(
-                comm.withColumnRenamed("id", "v")
-                .withColumnRenamed("c", "nc")
-                .hint("shuffle_hash"),
+                att(
+                    comm.withColumnRenamed("id", "v")
+                    .withColumnRenamed("c", "nc")
+                ),
                 "v",
             )
             .groupBy(F.col("u").alias("id"), "nc")
             .agg(F.sum("w").alias("kin"))
         )
         movers = (
-            singles.join(comm.hint("shuffle_hash"), "id")
-            .join(deg.hint("shuffle_hash"), "id")
-            .join(kic.hint("shuffle_hash"), "id")
+            kic.join(att(singles), "id", "left_semi")
+            .join(att(comm), "id")
+            .join(att(deg), "id")
             .where(F.col("nc") != F.col("c"))
-            .join(ctot.withColumnRenamed("c", "nc").hint("shuffle_hash"), "nc")
+            .join(att(ctot.withColumnRenamed("c", "nc")), "nc")
             .select(
                 "id", "nc",
                 (
@@ -362,24 +381,24 @@ def _refine_phase(
         nbr_best = (
             sym_c.select("u", "v")
             .join(
-                movers.select(
+                att(movers.select(
                     F.col("id").alias("v"),
                     F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")).alias("_ns"),
-                ).hint("shuffle_hash"),
+                )),
                 "v",
             )
             .groupBy(F.col("u").alias("id"))
             .agg(F.max("_ns").alias("_nb"))
         )
         accepted = (
-            movers.join(nbr_best.hint("shuffle_hash"), "id", "left")
+            movers.join(att(nbr_best), "id", "left")
             .where(
                 F.col("_nb").isNull()
                 | (F.struct(F.col("mgain"), (-F.col("id")).alias("_ni")) > F.col("_nb"))
             )
             .select("id", "best_c")
         )
-        moved = comm.join(accepted.hint("shuffle_hash"), "id", "left").select(
+        moved = comm.join(att(accepted), "id", "left").select(
             "id", F.coalesce("best_c", F.col("c")).alias("c"), F.col("c").alias("prev")
         )
         new_comm, row = mgr.save(
@@ -404,6 +423,7 @@ def leiden_communities(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     fingerprint: str = "",
+    state_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community] via deterministic
     distributed Leiden: Louvain move phase + singleton-merge
@@ -448,8 +468,14 @@ def leiden_communities(
     m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
 
     for lvl in range(start_lvl, levels):
-        P = _move_phase(wedges, gamma, max_rounds, m2, init=init)
-        R = _refine_phase(wedges, P, gamma, max_rounds, m2)
+        P = _move_phase(
+            wedges, gamma, max_rounds, m2, init=init,
+            state_broadcast_threshold=state_broadcast_threshold,
+        )
+        R = _refine_phase(
+            wedges, P, gamma, max_rounds, m2,
+            state_broadcast_threshold=state_broadcast_threshold,
+        )
         if mapping is None:
             flat = P.select("id", F.col("c").alias("label"))
             mapping = R.select("id", F.col("c").alias("sv"))
@@ -518,6 +544,7 @@ def louvain_communities(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     fingerprint: str = "",
+    state_broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges DF[src,dst] -> DF[id, community] via deterministic
     parallel Louvain with coarsening. `weights` names an explicit
@@ -558,7 +585,10 @@ def louvain_communities(
     m2 = wedges.agg(F.sum(F.col("w") * 2)).collect()[0][0] or 1.0
 
     for lvl in range(start_lvl, levels):
-        comm = _move_phase(wedges, gamma, max_rounds, m2)
+        comm = _move_phase(
+            wedges, gamma, max_rounds, m2,
+            state_broadcast_threshold=state_broadcast_threshold,
+        )
         n_comm = comm.select("c").distinct().count()
         n_vert = comm.count()
         if mapping is None:

@@ -845,7 +845,9 @@ def test_louvain_move_rounds_sort_free_no_broadcast(spark):
     e = edges_df(spark, er_edges(60, 0.12, 11))
     captured = []
     with _no_broadcast(spark), _save_spy(captured):
-        louvain_communities(e, levels=1, max_rounds=3).count()
+        louvain_communities(
+            e, levels=1, max_rounds=3, state_broadcast_threshold=0
+        ).count()
     _assert_sort_free(captured)
 
 
@@ -855,7 +857,9 @@ def test_leiden_refine_rounds_sort_free_no_broadcast(spark):
     e = edges_df(spark, er_edges(50, 0.12, 12))
     captured = []
     with _no_broadcast(spark), _save_spy(captured):
-        leiden_communities(e, levels=1, max_rounds=3).count()
+        leiden_communities(
+            e, levels=1, max_rounds=3, state_broadcast_threshold=0
+        ).count()
     _assert_sort_free(captured)
 
 
