@@ -268,8 +268,8 @@ def main():
     log(f"edge_betweenness_8src {queries['edge_betweenness_8src']}s")
 
     # bounded rounds: full-default Louvain on this graph runs ~60 move
-    # rounds across 3 levels — 256.9 s measured round 5 with the
-    # shuffle_hash move-phase joins (louvain_full_r5.json; ~476 s in
+    # rounds across 3 levels — 165.4 s measured round 5 with the hybrid
+    # hybrid move-phase attach (louvain_full_r5.json; ~476 s in
     # round 4 before the hints) — the bench row pins 2 levels x <=8
     # rounds so the whole bench stays inside the driver's budget; the
     # cost is per-round linear, so the bounded row is the honest
@@ -531,8 +531,8 @@ def main():
             f"{queries['multi_source_bfs_8src']} s | local[{CPUS}] |\n"
             f"| Louvain (bounded: 2 levels x 8 rounds) | "
             f"{queries['louvain_2lvl_8rnd']} s "
-            f"({n_comm + 1:,} communities; full-default run: 256.9 s "
-            f"measured r5 post-hints vs ~476 s r4 — louvain_full_r5.json) "
+            f"({n_comm + 1:,} communities; full-default run: 165.4 s "
+            f"measured r5 post-hybrid vs ~476 s r4 — louvain_full_r5.json) "
             f"| local[{CPUS}] |\n"
             f"| Infomap (bounded: 2 levels x 8 rounds) | "
             f"{queries['infomap_2lvl_8rnd']} s "
